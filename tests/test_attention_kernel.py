@@ -1,0 +1,65 @@
+"""Pallas flash attention vs jnp reference parity (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vidseg_diffusion_tpu.ops.attention import (
+    dot_product_attention,
+    flash_attention,
+    mha_reference,
+)
+
+
+def _rand(rng, *shape):
+    return jax.random.normal(rng, shape, dtype=jnp.float32)
+
+
+class TestReferenceAttention:
+    def test_softmax_rows_sum(self):
+        rng = jax.random.PRNGKey(0)
+        q = _rand(rng, 2, 4, 16, 8)
+        out = mha_reference(q, q, q)
+        assert out.shape == (2, 4, 16, 8)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_identity_value_recovery(self):
+        # With a single key, attention must return v exactly.
+        rng = jax.random.PRNGKey(1)
+        q = _rand(rng, 1, 2, 8, 4)
+        k = _rand(jax.random.PRNGKey(2), 1, 2, 1, 4)
+        v = _rand(jax.random.PRNGKey(3), 1, 2, 1, 4)
+        out = mha_reference(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(out), np.broadcast_to(np.asarray(v), out.shape), rtol=1e-5
+        )
+
+
+@pytest.mark.parametrize(
+    "b,h,lq,lk,d",
+    [
+        (1, 1, 256, 256, 64),   # aligned, multi k-block
+        (1, 1, 160, 96, 64),    # unaligned seq (pad-masked)
+    ],
+)
+def test_flash_matches_reference_interpret(b, h, lq, lk, d):
+    """Run the Pallas kernel in interpreter mode (CPU) and compare."""
+    rng = jax.random.PRNGKey(42)
+    r1, r2, r3 = jax.random.split(rng, 3)
+    q = _rand(r1, b, h, lq, d)
+    k = _rand(r2, b, h, lk, d)
+    v = _rand(r3, b, h, lk, d)
+
+    expected = mha_reference(q, k, v)
+    got = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5, rtol=2e-5)
+
+
+def test_dispatcher_small_seq_uses_reference():
+    rng = jax.random.PRNGKey(0)
+    q = _rand(rng, 2, 2, 14, 64)  # temporal attention shape
+    out = dot_product_attention(q, q, q)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(mha_reference(q, q, q)), rtol=1e-6
+    )

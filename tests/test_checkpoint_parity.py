@@ -1,0 +1,211 @@
+"""Numerical parity: reference torch modules (CPU) vs flax modules after
+checkpoint conversion, on tiny configs.
+
+These tests are the converter's ground truth: they instantiate the PUBLIC
+reference implementation from /root/reference (torch, CPU), export its
+state_dict, convert with io/checkpoint.py, and assert the flax forward
+reproduces the torch forward.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from reference_compat import (  # noqa: E402
+    import_reference_unet,
+    import_reference_vae,
+    import_reference_video_decoder,
+    import_reference_video_unet,
+)
+from vidseg_diffusion_tpu.io.checkpoint import (  # noqa: E402
+    convert_state_dict,
+    unet_key_fn,
+    vae_key_fn,
+)
+from vidseg_diffusion_tpu.models.unet import UNetConfig, UNetModel  # noqa: E402
+from vidseg_diffusion_tpu.models import vae as fvae  # noqa: E402
+
+ATOL = 2e-4  # fp32 CPU conv/matmul accumulation-order differences
+
+
+def _sd_numpy(module):
+    return {k: v.detach().numpy() for k, v in module.state_dict().items()}
+
+
+class TestImageUNetParity:
+    def test_tiny_unet_matches_reference(self):
+        RefUNet = import_reference_unet()
+        torch.manual_seed(0)
+        ref = RefUNet(
+            in_channels=4,
+            out_channels=4,
+            model_channels=32,
+            num_res_blocks=1,
+            attention_resolutions=[2, 1],
+            channel_mult=[1, 2],
+            num_head_channels=16,
+            transformer_depth=1,
+            context_dim=24,
+            use_linear_in_transformer=True,
+            use_checkpoint=False,
+        ).eval()
+
+        cfg = UNetConfig(
+            in_channels=4, out_channels=4, model_channels=32, num_res_blocks=1,
+            attention_resolutions=(2, 1), channel_mult=(1, 2),
+            num_head_channels=16, context_dim=24,
+        )
+        model = UNetModel(cfg)
+
+        b, h, w = 2, 16, 16
+        rng = np.random.RandomState(1)
+        x = rng.randn(b, 4, h, w).astype(np.float32)
+        ts = np.array([5.0, 10.0], dtype=np.float32)
+        ctx = rng.randn(b, 7, 24).astype(np.float32)
+
+        with torch.no_grad():
+            out_ref = ref(
+                torch.from_numpy(x), torch.from_numpy(ts), torch.from_numpy(ctx)
+            ).numpy()
+
+        var = model.init(
+            jax.random.PRNGKey(0),
+            jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(ts), jnp.asarray(ctx),
+        )
+        params, unused = convert_state_dict(var["params"], _sd_numpy(ref), unet_key_fn)
+        assert not unused, sorted(unused)[:8]
+
+        out = model.apply(
+            {"params": params},
+            jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(ts), jnp.asarray(ctx),
+        )
+        out = np.asarray(out).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(out, out_ref, atol=ATOL, rtol=1e-3)
+
+
+class TestVideoUNetParity:
+    def test_tiny_video_unet_matches_reference(self):
+        RefVideoUNet = import_reference_video_unet()
+        torch.manual_seed(0)
+        ref = RefVideoUNet(
+            in_channels=8,
+            out_channels=4,
+            model_channels=32,
+            num_res_blocks=1,
+            attention_resolutions=[2, 1],
+            channel_mult=[1, 2],
+            num_head_channels=16,
+            transformer_depth=1,
+            context_dim=24,
+            use_linear_in_transformer=True,
+            use_checkpoint=False,
+            extra_ff_mix_layer=True,
+            use_spatial_context=True,
+            merge_strategy="learned_with_images",
+            video_kernel_size=[3, 1, 1],
+            num_classes="sequential",
+            adm_in_channels=12,
+        ).eval()
+
+        cfg = UNetConfig(
+            in_channels=8, out_channels=4, model_channels=32, num_res_blocks=1,
+            attention_resolutions=(2, 1), channel_mult=(1, 2),
+            num_head_channels=16, context_dim=24, adm_in_channels=12, video=True,
+        )
+        model = UNetModel(cfg)
+
+        t, h, w = 3, 16, 16
+        bt = 2 * t
+        rng = np.random.RandomState(1)
+        x = rng.randn(bt, 8, h, w).astype(np.float32)
+        ts = np.full((bt,), 7.0, dtype=np.float32)
+        ctx = rng.randn(bt, 1, 24).astype(np.float32)
+        y = rng.randn(bt, 12).astype(np.float32)
+        ioi = np.zeros((2, t), dtype=np.float32)
+
+        with torch.no_grad():
+            out_ref = ref(
+                torch.from_numpy(x), torch.from_numpy(ts), torch.from_numpy(ctx),
+                y=torch.from_numpy(y), time_context=None, num_video_frames=t,
+                image_only_indicator=torch.from_numpy(ioi),
+            ).numpy()
+
+        args = (
+            jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(ts), jnp.asarray(ctx),
+            jnp.asarray(y),
+        )
+        kwargs = dict(num_video_frames=t, image_only_indicator=jnp.asarray(ioi))
+        var = model.init(jax.random.PRNGKey(0), *args, **kwargs)
+        params, unused = convert_state_dict(var["params"], _sd_numpy(ref), unet_key_fn)
+        assert not unused, sorted(unused)[:8]
+
+        out = model.apply({"params": params}, *args, **kwargs)
+        out = np.asarray(out).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(out, out_ref, atol=ATOL, rtol=1e-3)
+
+
+class TestVAEParity:
+    DD = dict(
+        ch=32, out_ch=3, ch_mult=[1, 2], num_res_blocks=1, attn_resolutions=[],
+        dropout=0.0, in_channels=3, resolution=32, z_channels=4, double_z=True,
+        attn_type="vanilla",
+    )
+
+    def _cfg(self, video=False):
+        return fvae.VAEConfig(
+            ch=32, out_ch=3, in_channels=3, z_channels=4, ch_mult=(1, 2),
+            num_res_blocks=1, double_z=True, video_decoder=video,
+        )
+
+    def test_encoder_parity(self):
+        RefEncoder, _ = import_reference_vae()
+        torch.manual_seed(0)
+        ref = RefEncoder(**self.DD).eval()
+        enc = fvae.Encoder(self._cfg())
+        rng = np.random.RandomState(2)
+        x = rng.randn(2, 3, 32, 32).astype(np.float32)
+        with torch.no_grad():
+            out_ref = ref(torch.from_numpy(x)).numpy()
+        xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+        var = enc.init(jax.random.PRNGKey(0), xj)
+        params, unused = convert_state_dict(var["params"], _sd_numpy(ref), vae_key_fn)
+        assert not unused, sorted(unused)[:8]
+        out = np.asarray(enc.apply({"params": params}, xj)).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(out, out_ref, atol=ATOL, rtol=1e-3)
+
+    def test_decoder_parity(self):
+        _, RefDecoder = import_reference_vae()
+        torch.manual_seed(0)
+        ref = RefDecoder(**self.DD).eval()
+        dec = fvae.Decoder(self._cfg())
+        rng = np.random.RandomState(3)
+        z = rng.randn(2, 4, 8, 8).astype(np.float32)
+        with torch.no_grad():
+            out_ref = ref(torch.from_numpy(z)).numpy()
+        zj = jnp.asarray(z.transpose(0, 2, 3, 1))
+        var = dec.init(jax.random.PRNGKey(0), zj)
+        params, unused = convert_state_dict(var["params"], _sd_numpy(ref), vae_key_fn)
+        assert not unused, sorted(unused)[:8]
+        out = np.asarray(dec.apply({"params": params}, zj)).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(out, out_ref, atol=ATOL, rtol=1e-3)
+
+    def test_video_decoder_parity(self):
+        RefVideoDecoder = import_reference_video_decoder()
+        torch.manual_seed(0)
+        ref = RefVideoDecoder(**self.DD, video_kernel_size=[3, 1, 1]).eval()
+        dec = fvae.Decoder(self._cfg(video=True))
+        t = 3
+        rng = np.random.RandomState(4)
+        z = rng.randn(t, 4, 8, 8).astype(np.float32)
+        with torch.no_grad():
+            out_ref = ref(torch.from_numpy(z), timesteps=t).numpy()
+        zj = jnp.asarray(z.transpose(0, 2, 3, 1))
+        var = dec.init(jax.random.PRNGKey(0), zj, timesteps=t)
+        params, unused = convert_state_dict(var["params"], _sd_numpy(ref), vae_key_fn)
+        assert not unused, sorted(unused)[:8]
+        out = np.asarray(dec.apply({"params": params}, zj, timesteps=t))
+        out = out.transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(out, out_ref, atol=ATOL, rtol=1e-3)

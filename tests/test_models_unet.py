@@ -1,0 +1,289 @@
+"""UNet / layers tests on tiny configs (CPU-runnable).
+
+Covers: forward shapes (image + video), attention Q/K harvest via
+'intermediates', λ·mask modulation arithmetic (the exact index semantics of
+attention.py:646-663 / video_attention.py:197-275), and injection gating.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vidseg_diffusion_tpu.models.layers import (
+    AttnInjection,
+    BlockInjection,
+    BlockModulation,
+    Modulation,
+)
+from vidseg_diffusion_tpu.models.unet import UNetConfig, UNetModel, UNetHooks
+from vidseg_diffusion_tpu.models.video_layers import SiteInjection, SiteModulation
+
+TINY = UNetConfig(
+    in_channels=4,
+    out_channels=4,
+    model_channels=32,
+    num_res_blocks=1,
+    attention_resolutions=(2, 1),
+    channel_mult=(1, 2),
+    num_head_channels=16,
+    context_dim=24,
+    dtype=jnp.float32,
+)
+
+TINY_VIDEO = UNetConfig(
+    in_channels=8,
+    out_channels=4,
+    model_channels=32,
+    num_res_blocks=1,
+    attention_resolutions=(2, 1),
+    channel_mult=(1, 2),
+    num_head_channels=16,
+    context_dim=24,
+    adm_in_channels=12,
+    video=True,
+    dtype=jnp.float32,
+)
+
+
+def _randomize_zero_init(params):
+    """The final conv (and nothing else we care about) is zero-initialized
+    like the reference's zero_module; randomize it so behavior tests see
+    signal flow."""
+    import flax
+
+    params = flax.core.unfreeze(params)
+    k = params["params"]["out_2"]["kernel"]
+    params["params"]["out_2"]["kernel"] = (
+        jax.random.normal(jax.random.PRNGKey(99), k.shape, k.dtype) * 0.1
+    )
+    return params
+
+
+def _init_image(t=2, h=16, w=16):
+    model = UNetModel(TINY)
+    x = jnp.ones((2 * t, h, w, 4))
+    ts = jnp.full((2 * t,), 10.0)
+    ctx = jnp.ones((2 * t, 7, 24))
+    params = _randomize_zero_init(model.init(jax.random.PRNGKey(0), x, ts, ctx))
+    return model, params, x, ts, ctx
+
+
+def _init_video(t=3, h=16, w=16):
+    model = UNetModel(TINY_VIDEO)
+    x = jnp.ones((2 * t, h, w, 8))
+    ts = jnp.full((2 * t,), 10.0)
+    ctx = jnp.ones((2 * t, 1, 24))
+    y = jnp.ones((2 * t, 12))
+    ioi = jnp.zeros((2, t))
+    params = _randomize_zero_init(
+        model.init(
+            jax.random.PRNGKey(0), x, ts, ctx, y,
+            num_video_frames=t, image_only_indicator=ioi,
+        )
+    )
+    return model, params, (x, ts, ctx, y, t, ioi)
+
+
+class TestImageUNet:
+    def test_forward_shape(self):
+        model, params, x, ts, ctx = _init_image()
+        out = model.apply(params, x, ts, ctx)
+        assert out.shape == (4, 16, 16, 4)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_block_layout_matches_reference_topology(self):
+        # SD 2.1 full config: attention in input blocks 1,2,4,5,7,8 and
+        # output blocks 3..11 (openaimodel constructor semantics)
+        cfg = UNetConfig()
+        inp, mid, out = cfg.block_layout()
+        attn_in = [i for i, s in enumerate(inp) if s.get("attn")]
+        attn_out = [i for i, s in enumerate(out) if s.get("attn")]
+        assert attn_in == [1, 2, 4, 5, 7, 8]
+        assert attn_out == list(range(3, 12))
+        assert len(inp) == 12 and len(out) == 12
+        # output block 8 sits at ds=2 (modulate mask resolution latent/2)
+        assert out[8]["ds"] == 2
+
+    def test_harvest_intermediates(self):
+        model, params, x, ts, ctx = _init_image()
+        out, state = model.apply(params, x, ts, ctx, mutable=["intermediates"])
+        inter = state["intermediates"]
+        # output block attention sites must expose q/k
+        flat = jax.tree_util.tree_flatten_with_path(inter)[0]
+        paths = ["/".join(str(p) for p in kp) for kp, _ in flat]
+        assert any("output_blocks_" in p and "attn1" in p and "'q'" in p for p in paths)
+
+    def test_modulation_adds_lambda_mask(self):
+        t = 2
+        model, params, x, ts, ctx = _init_image(t=t)
+        # modulate output block with attention at the tail (ds=1, 16x16 tokens)
+        cfg_in, _, cfg_out = TINY.block_layout()
+        block = max(i for i, s in enumerate(cfg_out) if s.get("attn") and s["ds"] == 1)
+        L = 16 * 16
+        masks = jnp.zeros((t, L)).at[:, : L // 2].set(1.0)
+        lam = jnp.full((t,), 5.0)
+        mod = Modulation(
+            masks=masks, lam=lam,
+            frame_gate=jnp.ones((t,), bool),
+            enabled=jnp.asarray(True),
+            modulate_uc=True,
+        )
+        hooks = UNetHooks(
+            output_mod={
+                block: SiteModulation(
+                    spatial=BlockModulation(self_attn=mod), temporal=None
+                )
+            }
+        )
+        out_mod = model.apply(params, x, ts, ctx, hooks=hooks)
+        out_ref = model.apply(params, x, ts, ctx)
+        # modulation must change outputs inside the mask region pathway
+        assert not np.allclose(np.asarray(out_mod), np.asarray(out_ref))
+        # disabled gate ⇒ identical
+        mod_off = Modulation(
+            masks=masks, lam=lam,
+            frame_gate=jnp.ones((t,), bool),
+            enabled=jnp.asarray(False),
+        )
+        hooks_off = UNetHooks(
+            output_mod={
+                block: SiteModulation(spatial=BlockModulation(self_attn=mod_off))
+            }
+        )
+        out_off = model.apply(params, x, ts, ctx, hooks=hooks_off)
+        np.testing.assert_allclose(np.asarray(out_off), np.asarray(out_ref), atol=1e-6)
+
+    def test_injection_gate(self):
+        model, params, x, ts, ctx = _init_image()
+        # harvest q from a block, inject zeros there with gate on/off
+        _, _, cfg_out = TINY.block_layout()
+        block = min(i for i, s in enumerate(cfg_out) if s.get("attn"))
+        _, state = model.apply(params, x, ts, ctx, mutable=["intermediates"])
+        site = state["intermediates"][f"output_blocks_{block}_1"][
+            "transformer_blocks_0"
+        ]["attn1"]
+        q = site["q"][0]
+        inj_on = UNetHooks(
+            output_inj={
+                block: SiteInjection(
+                    spatial=BlockInjection(
+                        attn1=AttnInjection(gate=jnp.asarray(True), q=q * 0.0)
+                    )
+                )
+            }
+        )
+        inj_off = UNetHooks(
+            output_inj={
+                block: SiteInjection(
+                    spatial=BlockInjection(
+                        attn1=AttnInjection(gate=jnp.asarray(False), q=q * 0.0)
+                    )
+                )
+            }
+        )
+        out_ref = model.apply(params, x, ts, ctx)
+        out_on = model.apply(params, x, ts, ctx, hooks=inj_on)
+        out_off = model.apply(params, x, ts, ctx, hooks=inj_off)
+        assert not np.allclose(np.asarray(out_on), np.asarray(out_ref))
+        np.testing.assert_allclose(np.asarray(out_off), np.asarray(out_ref), atol=1e-6)
+
+
+class TestVideoUNet:
+    def test_forward_shape(self):
+        model, params, args = _init_video()
+        x, ts, ctx, y, t, ioi = args
+        out = model.apply(
+            params, x, ts, ctx, y, num_video_frames=t, image_only_indicator=ioi
+        )
+        assert out.shape == (2 * t, 16, 16, 4)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_temporal_modulation(self):
+        model, params, args = _init_video()
+        x, ts, ctx, y, t, ioi = args
+        _, _, cfg_out = TINY_VIDEO.block_layout()
+        block = max(i for i, s in enumerate(cfg_out) if s.get("attn") and s["ds"] == 1)
+        L = 16 * 16
+        mod = Modulation(
+            masks=jnp.ones((t, L)),
+            lam=jnp.full((t,), 3.0),
+            frame_gate=jnp.ones((t,), bool),
+            enabled=jnp.asarray(True),
+        )
+        hooks = UNetHooks(
+            output_mod={
+                block: SiteModulation(temporal=BlockModulation(self_attn=mod))
+            }
+        )
+        out_ref = model.apply(
+            params, x, ts, ctx, y, num_video_frames=t, image_only_indicator=ioi
+        )
+        out_mod = model.apply(
+            params, x, ts, ctx, y, num_video_frames=t, image_only_indicator=ioi,
+            hooks=hooks,
+        )
+        assert not np.allclose(np.asarray(out_mod), np.asarray(out_ref))
+
+    def test_harvest_temporal_sites(self):
+        model, params, args = _init_video()
+        x, ts, ctx, y, t, ioi = args
+        _, state = model.apply(
+            params, x, ts, ctx, y, num_video_frames=t, image_only_indicator=ioi,
+            mutable=["intermediates"],
+        )
+        _, _, cfg_out = TINY_VIDEO.block_layout()
+        block = max(i for i, s in enumerate(cfg_out) if s.get("attn"))
+        site = state["intermediates"][f"output_blocks_{block}_1"]
+        assert "time_stack_0" in site
+        q = site["time_stack_0"]["attn1"]["q"][0]
+        # temporal layout [(2 hw), t, c]
+        assert q.shape[1] == t
+
+
+class TestModulationArithmetic:
+    def test_spatial_add_exact(self):
+        t, L, C = 2, 6, 3
+        out = jnp.zeros((2 * t, L, C))
+        masks = jnp.arange(t * L, dtype=jnp.float32).reshape(t, L)
+        lam = jnp.array([2.0, -1.0])
+        gate = jnp.array([True, False])
+        mod = Modulation(
+            masks=masks, lam=lam, frame_gate=gate, enabled=jnp.asarray(True),
+            modulate_uc=True,
+        )
+        got = np.asarray(mod.spatial_add(out))
+        # cond half rows t..2t: frame 0 gets 2*mask0, frame 1 gated off
+        np.testing.assert_allclose(
+            got[t + 0], np.broadcast_to(np.asarray(masks)[0][:, None] * 2.0, (L, C))
+        )
+        np.testing.assert_allclose(got[t + 1], 0.0)
+        # uc half identical (modulate_uc)
+        np.testing.assert_allclose(got[0], got[t + 0])
+
+    def test_spatial_add_no_uc(self):
+        t, L, C = 2, 4, 2
+        out = jnp.zeros((2 * t, L, C))
+        mod = Modulation(
+            masks=jnp.ones((t, L)), lam=jnp.ones((t,)),
+            frame_gate=jnp.ones((t,), bool), enabled=jnp.asarray(True),
+            modulate_uc=False,
+        )
+        got = np.asarray(mod.spatial_add(out))
+        np.testing.assert_allclose(got[:t], 0.0)
+        np.testing.assert_allclose(got[t:], 1.0)
+
+    def test_temporal_add_exact(self):
+        t, L, C = 3, 4, 2
+        out = jnp.zeros((2 * L, t, C))
+        masks = jnp.arange(t * L, dtype=jnp.float32).reshape(t, L)
+        mod = Modulation(
+            masks=masks, lam=jnp.full((t,), 2.0),
+            frame_gate=jnp.ones((t,), bool), enabled=jnp.asarray(True),
+        )
+        got = np.asarray(mod.temporal_add(out))
+        # row L+j (cond half token j), frame f += 2*masks[f, j]
+        for j in range(L):
+            for f in range(t):
+                np.testing.assert_allclose(got[L + j, f], 2.0 * float(masks[f, j]))
+        np.testing.assert_allclose(got[:L], got[L:])

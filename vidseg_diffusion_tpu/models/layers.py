@@ -1,0 +1,375 @@
+"""Shared building blocks for the diffusion UNets and transformers.
+
+Functional counterparts of sgm/modules/diffusionmodules/util.py (timestep
+embedding :209-233, AlphaBlender :314-381) and sgm/modules/attention.py
+(GEGLU/FeedForward :89-115, CrossAttention :257-364, BasicTransformerBlock
+:504-759, SpatialTransformer :806-927), re-designed for TPU:
+
+- Attention Q/K harvesting uses flax `sow` into the 'intermediates'
+  collection instead of the reference's module-attribute caches
+  (attention.py:330-331) — zero-cost when 'intermediates' is not mutable.
+- Feature injection selects between computed and injected projections with a
+  traced gate (`jnp.where`), so one compiled program serves both paths inside
+  the scan-based denoise loop (vs the reference's per-step disk loads,
+  sgm/util.py:277-296).
+- VidSeg λ·mask modulation (attention.py:646-663, 697-719, 733-755;
+  video_attention.py:197-275) is a broadcast epilogue add driven by dense
+  per-(step, frame) gate arrays — no Python loops over masks.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from vidseg_diffusion_tpu.ops.attention import dot_product_attention
+
+
+def timestep_embedding(
+    timesteps: jax.Array, dim: int, max_period: int = 10000
+) -> jax.Array:
+    """Sinusoidal embedding, [cos | sin] order (diffusionmodules/util.py:209-233)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm(32) computed in fp32 regardless of activation dtype
+    (diffusionmodules/util.py:261-278)."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        orig_dtype = x.dtype
+        out = nn.GroupNorm(
+            num_groups=32, epsilon=self.epsilon, dtype=jnp.float32,
+            param_dtype=jnp.float32, name="gn",
+        )(x.astype(jnp.float32))
+        return out.astype(orig_dtype)
+
+
+class AlphaBlender(nn.Module):
+    """Learned spatial/temporal mixer (diffusionmodules/util.py:314-381).
+
+    merge_strategy ∈ {fixed, learned, learned_with_images}. For
+    'learned_with_images', `image_only_indicator` [b, t] selects α=1 (pure
+    spatial) per frame. `spatial_dims` controls the broadcast pattern of the
+    per-frame α: 'bt11' for token layouts [(b t), s, c] (transformers) and
+    'b1t11' for [b, c, t, h, w] (VideoResBlock).
+    """
+
+    alpha: float = 0.5
+    merge_strategy: str = "learned_with_images"
+    broadcast: str = "bt11"  # or "b1t11"
+
+    @nn.compact
+    def __call__(
+        self,
+        x_spatial: jax.Array,
+        x_temporal: jax.Array,
+        image_only_indicator: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        if self.merge_strategy == "fixed":
+            alpha = jnp.asarray(self.alpha, dtype=x_spatial.dtype)
+        elif self.merge_strategy in ("learned", "learned_with_images"):
+            mix = self.param(
+                "mix_factor", lambda k: jnp.full((1,), self.alpha, jnp.float32)
+            )
+            alpha = jax.nn.sigmoid(mix)
+            if self.merge_strategy == "learned_with_images":
+                assert image_only_indicator is not None
+                alpha = jnp.where(
+                    image_only_indicator.astype(bool), 1.0, alpha[..., None]
+                )  # [b, t]
+                if self.broadcast == "bt11":
+                    b, t = alpha.shape
+                    alpha = alpha.reshape(b * t, 1, 1)
+                elif self.broadcast == "b1t11":
+                    alpha = alpha[:, None, :, None, None]
+                else:
+                    raise ValueError(self.broadcast)
+        else:
+            raise ValueError(self.merge_strategy)
+        alpha = alpha.astype(x_spatial.dtype)
+        return alpha * x_spatial + (1.0 - alpha) * x_temporal
+
+
+class GEGLU(nn.Module):
+    dim_out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x_and_gate = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
+        x, gate = jnp.split(x_and_gate, 2, axis=-1)
+        return x * nn.gelu(gate)
+
+
+class FeedForward(nn.Module):
+    """mult×-expansion MLP with (default) GEGLU gate (attention.py:99-115)."""
+
+    dim_out: Optional[int] = None
+    mult: int = 4
+    glu: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        dim = x.shape[-1]
+        inner = int(dim * self.mult)
+        dim_out = self.dim_out if self.dim_out is not None else dim
+        if self.glu:
+            h = GEGLU(inner, dtype=self.dtype, name="net_in")(x)
+        else:
+            h = nn.gelu(nn.Dense(inner, dtype=self.dtype, name="net_in")(x))
+        return nn.Dense(dim_out, dtype=self.dtype, name="net_out")(h)
+
+
+@flax.struct.dataclass
+class AttnInjection:
+    """Injected Q/K/V overrides for one attention site (attention.py:305-317).
+
+    `gate` is a traced boolean scalar (is_injected_step for this step/block);
+    arrays are the full-shape projections harvested by the feature pass. A
+    site with no injected tensor carries None (static, pruned at trace)."""
+
+    gate: jax.Array  # scalar bool
+    q: Optional[jax.Array] = None
+    k: Optional[jax.Array] = None
+    v: Optional[jax.Array] = None
+
+
+@flax.struct.dataclass
+class Modulation:
+    """Dense λ·mask modulation state for one transformer block site.
+
+    Replicates the semantics of attention.py:646-663 (+ video_attention.py
+    :197-275): for each frame f in the gated set, add λ[f]·mask[f] to the
+    attention/ff output rows of that frame — on the cond half of the [uc; c]
+    CFG batch, and on the uc half too when modulate_uc.
+
+    masks:      [T, L] per-frame binary masks at this site's token resolution
+    lam:        [T]    per-frame λ (sign folded in; get_modulate_lambda)
+    frame_gate: [T]    traced bool — frame ∈ (timestep ∩ block ∩ layer) groups
+    enabled:    scalar traced bool — is_modulate_step for this step/block
+    modulate_uc: static bool (always True in the shipped pipelines,
+                 svd_single_video_inference.py:468)
+    """
+
+    masks: jax.Array
+    lam: jax.Array
+    frame_gate: jax.Array
+    enabled: jax.Array
+    modulate_uc: bool = flax.struct.field(pytree_node=False, default=True)
+
+    def spatial_add(self, out: jax.Array) -> jax.Array:
+        """out: [(2b t), L, C] spatial token layout (uc frames then cond)."""
+        t = self.masks.shape[0]
+        scale = (
+            self.enabled.astype(out.dtype)
+            * self.frame_gate.astype(out.dtype)
+            * self.lam.astype(out.dtype)
+        )  # [T]
+        add = scale[:, None] * self.masks.astype(out.dtype)  # [T, L]
+        uc_part = add if self.modulate_uc else jnp.zeros_like(add)
+        full = jnp.concatenate([uc_part, add], axis=0)  # [2T, L]
+        # modulated runs are single-video ([uc(T); c(T)] batch); multi-video
+        # parallelism is a vmap/shard axis above the UNet, not a batch here
+        assert out.shape[0] == 2 * t, (out.shape, t)
+        return out + full[:, :, None]
+
+    def temporal_add(self, out: jax.Array) -> jax.Array:
+        """out: [(2b L), T, C] temporal token layout (uc tokens first half —
+        video_attention.py:200, 212-216)."""
+        addT = (
+            self.enabled.astype(out.dtype)
+            * self.frame_gate.astype(out.dtype)
+            * self.lam.astype(out.dtype)
+        )[None, :] * self.masks.astype(out.dtype).T  # [L, T]
+        uc_part = addT if self.modulate_uc else jnp.zeros_like(addT)
+        full = jnp.concatenate([uc_part, addT], axis=0)  # [2L, T]
+        assert out.shape[0] == full.shape[0], (out.shape, full.shape)
+        return out + full[:, :, None]
+
+
+@flax.struct.dataclass
+class BlockModulation:
+    """Per-site modulation for one BasicTransformerBlock/VideoTransformerBlock.
+
+    The reference gates by modulate_attn_type ⊆ {self_attn, cross_attn,
+    ff_out} (attention.py:646, 697, 733); a None site is statically off."""
+
+    self_attn: Optional[Modulation] = None
+    cross_attn: Optional[Modulation] = None
+    ff_out: Optional[Modulation] = None
+
+
+def _inject(computed: jax.Array, injected: Optional[jax.Array], gate) -> jax.Array:
+    if injected is None:
+        return computed
+    return jnp.where(gate, injected.astype(computed.dtype), computed)
+
+
+class CrossAttention(nn.Module):
+    """Q/K/V projection + SDPA + output projection (attention.py:257-364).
+
+    Self-attention when `context is None`. Sows the pre-head-split Q and K
+    projections into 'intermediates' (the reference caches them as module
+    attributes, attention.py:330-331, and dumps them to disk)."""
+
+    heads: int = 8
+    dim_head: int = 64
+    out_dim: Optional[int] = None  # defaults to query dim
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # [B, Lq, C]
+        context: Optional[jax.Array] = None,
+        injection: Optional[AttnInjection] = None,
+    ) -> jax.Array:
+        inner = self.heads * self.dim_head
+        out_dim = self.out_dim if self.out_dim is not None else x.shape[-1]
+        ctx = x if context is None else context
+
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+
+        if injection is not None:
+            q = _inject(q, injection.q, injection.gate)
+            k = _inject(k, injection.k, injection.gate)
+            v = _inject(v, injection.v, injection.gate)
+
+        self.sow("intermediates", "q", q)
+        self.sow("intermediates", "k", k)
+
+        b, lq, _ = q.shape
+        lk = k.shape[1]
+
+        def split(t, l):
+            return t.reshape(b, l, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+
+        out = dot_product_attention(split(q, lq), split(k, lk), split(v, lk))
+        out = out.transpose(0, 2, 1, 3).reshape(b, lq, inner)
+        return nn.Dense(out_dim, dtype=self.dtype, name="to_out")(out)
+
+
+@flax.struct.dataclass
+class BlockInjection:
+    """Injection targets for a transformer block's attn1 (self) and attn2
+    (cross) sites."""
+
+    attn1: Optional[AttnInjection] = None
+    attn2: Optional[AttnInjection] = None
+
+
+class BasicTransformerBlock(nn.Module):
+    """Pre-LN self-attn + cross-attn + FF with VidSeg hooks
+    (attention.py:504-759)."""
+
+    heads: int
+    dim_head: int
+    dtype: jnp.dtype = jnp.float32
+    disable_self_attn: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        context: Optional[jax.Array] = None,
+        modulation: Optional[BlockModulation] = None,
+        injection: Optional[BlockInjection] = None,
+    ) -> jax.Array:
+        ln = lambda name: nn.LayerNorm(dtype=self.dtype, name=name)
+        attn1 = CrossAttention(
+            heads=self.heads, dim_head=self.dim_head, dtype=self.dtype, name="attn1"
+        )
+        attn2 = CrossAttention(
+            heads=self.heads, dim_head=self.dim_head, dtype=self.dtype, name="attn2"
+        )
+        ff = FeedForward(dtype=self.dtype, name="ff")
+
+        a1 = attn1(
+            ln("norm1")(x),
+            context=context if self.disable_self_attn else None,
+            injection=injection.attn1 if injection is not None else None,
+        )
+        if modulation is not None and modulation.self_attn is not None:
+            a1 = modulation.self_attn.spatial_add(a1)
+        x = a1 + x
+
+        a2 = attn2(
+            ln("norm2")(x),
+            context=context,
+            injection=injection.attn2 if injection is not None else None,
+        )
+        if modulation is not None and modulation.cross_attn is not None:
+            a2 = modulation.cross_attn.spatial_add(a2)
+        x = a2 + x
+
+        f = ff(ln("norm3")(x))
+        if modulation is not None and modulation.ff_out is not None:
+            f = modulation.ff_out.spatial_add(f)
+        return x + f
+
+
+class SpatialTransformer(nn.Module):
+    """GroupNorm → proj_in → transformer blocks → proj_out + residual
+    (attention.py:806-927). NHWC layout (TPU-native); `use_linear` matches
+    the checkpoint's 1x1-conv vs linear projections."""
+
+    heads: int
+    dim_head: int
+    depth: int = 1
+    use_linear: bool = True
+    dtype: jnp.dtype = jnp.float32
+    disable_self_attn: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # [B, H, W, C]
+        context: Optional[jax.Array] = None,
+        modulation: Optional[BlockModulation] = None,
+        injection: Optional[BlockInjection] = None,
+    ) -> jax.Array:
+        b, h, w, c = x.shape
+        inner = self.heads * self.dim_head
+        x_in = x
+        x = GroupNorm32(epsilon=1e-6, name="norm")(x)
+        if not self.use_linear:
+            x = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(x)
+        x = x.reshape(b, h * w, x.shape[-1])
+        if self.use_linear:
+            x = nn.Dense(inner, dtype=self.dtype, name="proj_in")(x)
+
+        for d in range(self.depth):
+            x = BasicTransformerBlock(
+                heads=self.heads,
+                dim_head=self.dim_head,
+                dtype=self.dtype,
+                disable_self_attn=self.disable_self_attn,
+                name=f"transformer_blocks_{d}",
+            )(x, context=context, modulation=modulation, injection=injection)
+
+        if self.use_linear:
+            x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
+        x = x.reshape(b, h, w, x.shape[-1])
+        if not self.use_linear:
+            x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(x)
+        return x + x_in

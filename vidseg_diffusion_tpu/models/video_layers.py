@@ -1,0 +1,210 @@
+"""Temporal (video) transformer blocks for the SVD UNet.
+
+Counterparts of sgm/modules/video_attention.py: VideoTransformerBlock
+(:18-288) and SpatialVideoTransformer (:291-489). The factorized attention
+layout is preserved exactly because the VidSeg method indexes into it:
+spatial attention folds frames into batch ([(b t), s, c]) and temporal
+attention folds tokens into batch ([(b s), t, c], video_attention.py:152),
+with the CFG uc half occupying the first half of each folded batch.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from vidseg_diffusion_tpu.models.layers import (
+    AlphaBlender,
+    AttnInjection,
+    BasicTransformerBlock,
+    BlockInjection,
+    BlockModulation,
+    CrossAttention,
+    FeedForward,
+    GroupNorm32,
+    Modulation,
+    timestep_embedding,
+)
+
+
+class VideoTransformerBlock(nn.Module):
+    """Temporal transformer block (video_attention.py:18-288).
+
+    Operates on [(b t), s, c]; internally reshapes to [(b s), t, c]. SVD
+    config: ff_in=True (extra_ff_mix_layer), inner_dim == dim (is_res),
+    temporal cross-attention enabled with spatial context.
+
+    Injection quirk preserved from the reference: only attn1 (temporal self
+    attention) accepts injected Q/K/V (video_attention.py:166-195); attn2 is
+    always computed even though temporal_cross features are harvested.
+    """
+
+    heads: int
+    dim_head: int
+    ff_in: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # [(b t), s, c]
+        context: Optional[jax.Array] = None,  # time context [(b s)-broadcastable, 1, ctx]
+        timesteps: int = None,
+        modulation: Optional[BlockModulation] = None,
+        injection: Optional[BlockInjection] = None,
+    ) -> jax.Array:
+        bt, s, c = x.shape
+        t = timesteps
+        b = bt // t
+        # (b t) s c -> (b s) t c  (video_attention.py:152)
+        x = x.reshape(b, t, s, c).transpose(0, 2, 1, 3).reshape(b * s, t, c)
+
+        if self.ff_in:
+            x_skip = x
+            x = FeedForward(dtype=self.dtype, name="ff_in")(
+                nn.LayerNorm(dtype=self.dtype, name="norm_in")(x)
+            )
+            x = x + x_skip  # is_res: inner_dim == dim
+
+        a1 = CrossAttention(
+            heads=self.heads, dim_head=self.dim_head, dtype=self.dtype, name="attn1"
+        )(
+            nn.LayerNorm(dtype=self.dtype, name="norm1")(x),
+            context=None,
+            injection=injection.attn1 if injection is not None else None,
+        )
+        if modulation is not None and modulation.self_attn is not None:
+            a1 = modulation.self_attn.temporal_add(a1)
+        x = a1 + x
+
+        a2 = CrossAttention(
+            heads=self.heads, dim_head=self.dim_head, dtype=self.dtype, name="attn2"
+        )(nn.LayerNorm(dtype=self.dtype, name="norm2")(x), context=context)
+        if modulation is not None and modulation.cross_attn is not None:
+            a2 = modulation.cross_attn.temporal_add(a2)
+        x = a2 + x
+
+        x_skip = x
+        f = FeedForward(dtype=self.dtype, name="ff")(
+            nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        )
+        if modulation is not None and modulation.ff_out is not None:
+            f = modulation.ff_out.temporal_add(f)
+        x = x_skip + f
+
+        # (b s) t c -> (b t) s c
+        x = x.reshape(b, s, t, c).transpose(0, 2, 1, 3).reshape(b * t, s, c)
+        return x
+
+
+@flax.struct.dataclass
+class SiteModulation:
+    """Modulation for one UNet block: separate spatial/temporal layer gates
+    (modulate_layer_type, video_attention.py:432-460)."""
+
+    spatial: Optional[BlockModulation] = None
+    temporal: Optional[BlockModulation] = None
+
+
+@flax.struct.dataclass
+class SiteInjection:
+    """Injection for one UNet block's spatial and temporal transformer."""
+
+    spatial: Optional[BlockInjection] = None
+    temporal: Optional[BlockInjection] = None
+
+
+class SpatialVideoTransformer(nn.Module):
+    """Interleaved spatial + temporal transformer (video_attention.py:291-489).
+
+    Per depth: spatial BasicTransformerBlock → add sinusoidal frame-position
+    embedding → VideoTransformerBlock → AlphaBlender merge.
+    """
+
+    heads: int
+    dim_head: int
+    depth: int = 1
+    use_linear: bool = True
+    merge_strategy: str = "learned_with_images"
+    merge_factor: float = 0.5
+    max_time_embed_period: int = 10000
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # [B=(b t), H, W, C]
+        context: Optional[jax.Array] = None,  # [(b t), Lc, ctx]
+        timesteps: int = None,
+        image_only_indicator: Optional[jax.Array] = None,
+        modulation: Optional[SiteModulation] = None,
+        injection: Optional[SiteInjection] = None,
+    ) -> jax.Array:
+        bt, h, w, c = x.shape
+        t = timesteps
+        inner = self.heads * self.dim_head
+        x_in = x
+
+        spatial_context = context
+        # use_spatial_context: time context = context of each video's first
+        # frame, repeated per spatial token (video_attention.py:395-404)
+        time_context = None
+        if context is not None:
+            first = context[::t]  # [b, Lc, ctx]
+            time_context = jnp.repeat(first, h * w, axis=0)  # [(b hw), Lc, ctx]
+
+        x = GroupNorm32(epsilon=1e-6, name="norm")(x)
+        x = x.reshape(bt, h * w, c)
+        if self.use_linear:
+            x = nn.Dense(inner, dtype=self.dtype, name="proj_in")(x)
+        else:
+            x = nn.Dense(inner, dtype=self.dtype, name="proj_in")(x)  # 1x1 conv ≡ dense on tokens
+
+        # sinusoidal frame-position embedding (video_attention.py:417-427)
+        frame_ids = jnp.tile(jnp.arange(t), bt // t)
+        t_emb = timestep_embedding(frame_ids, c, max_period=self.max_time_embed_period)
+        emb = nn.Dense(c * 4, dtype=self.dtype, name="time_pos_embed_0")(t_emb)
+        emb = nn.Dense(c, dtype=self.dtype, name="time_pos_embed_2")(nn.silu(emb))
+        emb = emb[:, None, :].astype(x.dtype)
+
+        for d in range(self.depth):
+            x = BasicTransformerBlock(
+                heads=self.heads,
+                dim_head=self.dim_head,
+                dtype=self.dtype,
+                name=f"transformer_blocks_{d}",
+            )(
+                x,
+                context=spatial_context,
+                modulation=modulation.spatial if modulation is not None else None,
+                injection=injection.spatial if injection is not None else None,
+            )
+
+            x_mix = x + emb
+            x_mix = VideoTransformerBlock(
+                heads=self.heads,
+                dim_head=self.dim_head,
+                ff_in=True,
+                dtype=self.dtype,
+                name=f"time_stack_{d}",
+            )(
+                x_mix,
+                context=time_context,
+                timesteps=t,
+                modulation=modulation.temporal if modulation is not None else None,
+                injection=injection.temporal if injection is not None else None,
+            )
+            x = AlphaBlender(
+                alpha=self.merge_factor,
+                merge_strategy=self.merge_strategy,
+                broadcast="bt11",
+                name="time_mixer",
+            )(x_spatial=x, x_temporal=x_mix, image_only_indicator=image_only_indicator)
+
+        x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
+        x = x.reshape(bt, h, w, c)
+        return x + x_in

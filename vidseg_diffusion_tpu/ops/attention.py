@@ -1,0 +1,199 @@
+"""Scaled-dot-product attention for TPU.
+
+Replaces the reference's two CUDA attention surfaces — PyTorch SDPA
+(sgm/modules/attention.py:352-356) and xformers `memory_efficient_attention`
+(attention.py:463-485) — with a Pallas TPU flash-attention kernel plus a jnp
+reference path.
+
+Design notes (TPU-first, not a port):
+- Q/K "feature harvesting" needs no kernel support: the harvested tensors are
+  the Q/K *projections* (attention.py:330-331 caches them before head-split),
+  which are plain matmul outputs at module level. The kernel is pure
+  attention; harvest/injection/λ·mask-modulation are functional module logic
+  that XLA fuses into neighboring ops.
+- The kernel uses the standard online-softmax block algorithm: grid over
+  (batch·heads, q-blocks, k-blocks) with fp32 VMEM accumulators; the k axis
+  is innermost so accumulators live in scratch across k steps.
+- Small sequences (temporal attention L=14, CLIP-image context L=1, text
+  context L=77) go to the jnp path — XLA already compiles those to fused
+  MXU code; a flash kernel would only add padding waste.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def mha_reference(
+    q: jax.Array, k: jax.Array, v: jax.Array, scale: Optional[float] = None
+) -> jax.Array:
+    """Reference attention. Shapes [B, H, Lq, D], [B, H, Lk, D] → [B, H, Lq, D]."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    weights = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", weights.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(q.dtype)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, kv_len):
+    """One (q-block, k-block) tile of online-softmax attention."""
+    kb = pl.program_id(2)
+    nkb = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0].astype(jnp.float32)  # [bq, d]
+    k = k_ref[0].astype(jnp.float32)  # [bk, d]
+    v = v_ref[0].astype(jnp.float32)  # [bk, d]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [bq, bk]
+
+    # mask out k padding beyond the true kv length
+    block_k = k.shape[0]
+    k_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(k_ids < kv_len, s, DEFAULT_MASK_VALUE)
+
+    m_prev = m_ref[:]  # [bq, 1]
+    l_prev = l_ref[:]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next)
+    l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_ref[:] = m_next
+    l_ref[:] = l_next
+
+    @pl.when(kb == nkb - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: Optional[float] = None,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas TPU flash attention. Shapes [B, H, Lq, D] / [B, H, Lk, D].
+
+    Handles non-aligned Lq/Lk/D by zero-padding (D to 128 lanes, L to block
+    multiples) with in-kernel masking of padded keys; padded queries compute
+    garbage rows that are sliced away on return.
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+
+    d_pad = _round_up(d, 128)
+    block_q = min(block_q, _round_up(lq, 128))
+    block_k = min(block_k, _round_up(lk, 128))
+    lq_pad = _round_up(lq, block_q)
+    lk_pad = _round_up(lk, block_k)
+
+    qf = q.reshape(b * h, lq, d)
+    kf = k.reshape(b * h, lk, d)
+    vf = v.reshape(b * h, lk, d)
+    if d_pad != d or lq_pad != lq:
+        qf = jnp.pad(qf, ((0, 0), (0, lq_pad - lq), (0, d_pad - d)))
+    if d_pad != d or lk_pad != lk:
+        kf = jnp.pad(kf, ((0, 0), (0, lk_pad - lk), (0, d_pad - d)))
+        vf = jnp.pad(vf, ((0, 0), (0, lk_pad - lk), (0, d_pad - d)))
+
+    grid = (b * h, lq_pad // block_q, lk_pad // block_k)
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, kv_len=lk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_q, d_pad), lambda bh, qb, kb: (bh, qb, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, block_k, d_pad), lambda bh, qb, kb: (bh, kb, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, block_k, d_pad), lambda bh, qb, kb: (bh, kb, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d_pad), lambda bh, qb, kb: (bh, qb, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, lq_pad, d_pad), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d_pad), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+
+    return out[:, :lq, :d].reshape(b, h, lq, d)
+
+
+# Below this sequence length the jnp path is both faster (no padding waste)
+# and exactly what XLA fuses best; the kernel wins on long spatial sequences.
+_FLASH_MIN_SEQ = 512
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: Optional[float] = None,
+    force_flash: Optional[bool] = None,
+) -> jax.Array:
+    """SDPA dispatcher: Pallas flash kernel for long sequences on TPU,
+    jnp reference otherwise. Counterpart of the reference's
+    F.scaled_dot_product_attention backend switching (attention.py:17-57)."""
+    use_flash = force_flash
+    if use_flash is None:
+        on_tpu = jax.default_backend() == "tpu"
+        use_flash = (
+            on_tpu and q.shape[2] >= _FLASH_MIN_SEQ and k.shape[2] >= _FLASH_MIN_SEQ
+        )
+    if use_flash:
+        return flash_attention(q, k, v, scale=scale)
+    return mha_reference(q, k, v, scale=scale)
