@@ -1,18 +1,30 @@
-"""Verification drive: end-to-end VidSeg slice through the public package API.
+"""End-to-end VidSeg slice through the public package API (tiny video model,
+random weights). This is the project's verification drive: it exercises the
+full seam chain add_noise → scan denoise with Q/K harvest → on-device KMeans
+masks → 2·M modulated (±λ) runs with injection + latent blending → VAE decode
+→ difference maps → argmax segmentation.
 
-Tiny video UNet, random weights — exercises the full seam chain:
-add_noise → scan denoise with Q/K harvest → KMeans masks on harvested
-features → 2·M modulated (±λ) runs with latent blending + injection →
-difference maps → argmax segmentation.
+Run: cd /root/repo && PYTHONPATH=/root/repo python examples/tiny_e2e.py
 """
-import sys
 import numpy as np
 import jax
-import jax.numpy as jnp
 
-print("backend:", jax.default_backend())
+try:
+    _backend = jax.default_backend()
+except RuntimeError:
+    # the single TPU is claimed by another process (axon grants are
+    # exclusive) — fall back to CPU
+    jax.config.update("jax_platforms", "cpu")
+    _backend = jax.default_backend()
+
+import jax.numpy as jnp
+import flax
+
+print("backend:", _backend)
 
 from vidseg_diffusion_tpu.models.unet import UNetConfig, UNetModel
+from vidseg_diffusion_tpu.models import vae as fvae
+from vidseg_diffusion_tpu.models.conditioner import build_svd_conditioner
 from vidseg_diffusion_tpu.diffusion import (
     EDMDiscretization, Denoiser, VScalingWithEDMcNoise, LinearPredictionGuider,
 )
@@ -21,10 +33,14 @@ from vidseg_diffusion_tpu.engine.modulation import ModulationConfig
 from vidseg_diffusion_tpu.engine.vidseg import (
     VidSegEngine, svd_harvest_spec, masks_to_latent,
 )
-from vidseg_diffusion_tpu.ops.kmeans import kmeans_fit
-from vidseg_diffusion_tpu.ops.image import gaussian_blur
+from vidseg_diffusion_tpu.engine.masks import kmeans_masks, correct_low_res_mask
+from vidseg_diffusion_tpu.engine.segmentation import (
+    compute_difference, segmentation_argmax,
+)
+from vidseg_diffusion_tpu.engine.diffusion_engine import FirstStage
 
-T, H, W = 3, 16, 16  # latent size
+T, HPX, WPX = 3, 64, 64       # pixel frame size
+H, W = HPX // 8, WPX // 8     # latent 8x8
 NUM_STEPS, T_START = 8, 4
 NUM_MASKS = 2
 
@@ -34,17 +50,12 @@ cfg = UNetConfig(
     context_dim=24, adm_in_channels=12, video=True,
 )
 unet = UNetModel(cfg)
-
-# modulated block: last output block with attention at ds=1 (full latent res)
 _, _, out_blocks = cfg.block_layout()
 mod_block = max(i for i, s in enumerate(out_blocks) if s.get("attn") and s["ds"] == 1)
-print("modulated block:", mod_block)
 
 mod_cfg = ModulationConfig(
-    modulate_block_idx=(mod_block,),
-    modulate_timestep=(T_START,),
-    num_steps=NUM_STEPS,
-    num_frames=T,
+    modulate_block_idx=(mod_block,), modulate_timestep=(T_START,),
+    num_steps=NUM_STEPS, num_frames=T,
     modulate_layer_type=("spatial", "temporal"),
     modulate_attn_type=("self_attn",),
     modulate_lambda_start=30.0, modulate_lambda_end=30.0,
@@ -52,7 +63,6 @@ mod_cfg = ModulationConfig(
     output_block_indices=tuple(range(1, len(out_blocks))),
     is_latent_blending=True,
 )
-
 engine = VidSegEngine(
     unet=unet,
     denoiser=Denoiser(scaling=VScalingWithEDMcNoise()),
@@ -63,97 +73,107 @@ engine = VidSegEngine(
     mod_cfg=mod_cfg,
     harvest=svd_harvest_spec(
         cluster_blocks=(mod_block,), injection=True,
-        injection_blocks=tuple(
-            i for i, s in enumerate(out_blocks) if s.get("attn")
-        ),
+        injection_blocks=tuple(i for i, s in enumerate(out_blocks) if s.get("attn")),
     ),
 )
 
-rng = jax.random.PRNGKey(0)
-latent = jax.random.normal(rng, (T, H, W, 4))
-c = {
-    "crossattn": jax.random.normal(jax.random.PRNGKey(1), (T, 1, 24)),
-    "vector": jax.random.normal(jax.random.PRNGKey(2), (T, 12)),
-    "concat": jax.random.normal(jax.random.PRNGKey(3), (T, H, W, 4)) * 0.1,
-}
-uc = {"crossattn": jnp.zeros_like(c["crossattn"]),
-      "vector": c["vector"], "concat": jnp.zeros_like(c["concat"])}
+# --- tiny VAE first stage ----------------------------------------------------
+vcfg = fvae.VAEConfig(ch=16, ch_mult=(1, 2, 2, 2), num_res_blocks=1,
+                      video_decoder=True)
+enc = fvae.Encoder(vcfg)
+dec = fvae.Decoder(vcfg)
+frames_in = jax.random.uniform(jax.random.PRNGKey(20), (T, HPX, WPX, 3)) * 2 - 1
+enc_params = enc.init(jax.random.PRNGKey(21), frames_in)["params"]
+dec_params = dec.init(jax.random.PRNGKey(22), jnp.zeros((T, H, W, 4)), timesteps=1)["params"]
+fs = FirstStage(enc, dec, enc_params, dec_params)
 
+# --- conditioner ------------------------------------------------------------
+def fake_clip(frames):
+    return jnp.mean(frames, axis=(1, 2)) @ jnp.ones((3, 24)) * 0.1
+
+cond_builder = build_svd_conditioner(
+    clip_image_fn=fake_clip,
+    vae_encode_fn=lambda f: fs.encode(f, rng=None),
+)
+batch = {
+    "cond_frames_without_noise": frames_in[:1],
+    "cond_frames": frames_in[:1] + 0.02 * jax.random.normal(jax.random.PRNGKey(23), frames_in[:1].shape),
+    "fps_id": jnp.array([6.0]),
+    "motion_bucket_id": jnp.array([127.0]),
+    "cond_aug": jnp.array([0.02]),
+}
+c1, uc1 = cond_builder.get_unconditional_conditioning(
+    batch, force_uc_zero_embeddings=["cond_frames", "cond_frames_without_noise"]
+)
+# repeat per-frame like the pipeline (svd_single_video_inference.py:308-312)
+def per_frame(d):
+    return {
+        "crossattn": jnp.repeat(d["crossattn"], T, axis=0),
+        "concat": jnp.repeat(d["concat"], T, axis=0),
+        "vector": jnp.repeat(d["vector"], T, axis=0)[:, :12],  # tiny adm dim
+    }
+c, uc = per_frame(c1), per_frame(uc1)
+print("cond shapes:", {k: v.shape for k, v in c.items()})
+
+# --- params ------------------------------------------------------------------
+latent = fs.encode(frames_in, rng=None)
+print("latent:", latent.shape)
 x0 = jnp.zeros((2 * T, H, W, 8))
 params = unet.init(
     jax.random.PRNGKey(7), x0, jnp.zeros((2 * T,)),
     jnp.zeros((2 * T, 1, 24)), jnp.zeros((2 * T, 12)),
     num_video_frames=T, image_only_indicator=jnp.zeros((2, T)),
 )["params"]
-# randomize the zero-init final conv so modulation visibly propagates
-import flax
 params = flax.core.unfreeze(params)
 k = params["out_2"]["kernel"]
 params["out_2"]["kernel"] = jax.random.normal(jax.random.PRNGKey(9), k.shape) * 0.05
 
-# ---- Step 1+2: feature pass with xt cache --------------------------------
+# tiny context dim mismatch guard: conditioner produced 24-dim crossattn via fake_clip
+assert c["crossattn"].shape[-1] == 24
+
+# --- steps 1+2 ----------------------------------------------------------------
 x0_out, cache = jax.jit(
     lambda p, l, r: engine.xt_cache_pass(p, l, c, uc, r, T_START)
 )(params, latent, jax.random.PRNGKey(11))
-print("feature pass done; cache keys:", len(cache), "xt:", cache["xt"].shape)
 qname = [kk for kk in cache if "spatial_self_q" in kk][0]
-feat = cache[qname][NUM_STEPS - 1]  # feature_timestep = last step
-print("cluster features:", qname, feat.shape)
+feat = cache[qname][NUM_STEPS - 1]
+print("harvested:", qname, feat.shape)
 
-# ---- Step 3: on-device KMeans masks ---------------------------------------
-cond_feat = feat[T:]  # cond half [T, L, C]
-fh = fw = H // 1  # block at ds=1 → latent res tokens
-norm = cond_feat / jnp.max(jnp.abs(cond_feat), axis=-1, keepdims=True)
-flat = norm.reshape(-1, norm.shape[-1])
-centers, labels, _ = kmeans_fit(jax.random.PRNGKey(5), flat, k=NUM_MASKS)
-masks_flat = jax.nn.one_hot(labels, NUM_MASKS, axis=0)  # [M, T*L]
-masks_tokens = masks_flat.reshape(NUM_MASKS, T, H * W)
-masks_px = masks_tokens.reshape(NUM_MASKS, T, H, W)
-print("masks:", masks_px.shape, "sizes:", np.asarray(masks_tokens.sum(axis=(1, 2))))
+# --- step 3: masks via engine.masks -------------------------------------------
+masks_tok, labels = kmeans_masks(jax.random.PRNGKey(5), feat, NUM_MASKS, T)
+masks_tok = correct_low_res_mask(feat, masks_tok, T, width=W)  # refine
+masks_px = masks_tok.reshape(NUM_MASKS, T, H, W)
+print("masks:", masks_px.shape, "labels:", labels)
 
-# ---- Step 4: 2·M modulated runs -------------------------------------------
+# --- step 4 --------------------------------------------------------------------
 masks_latent = masks_to_latent(masks_px, (H, W))
 noised = engine.sampler.add_noise(jax.random.PRNGKey(11), latent, noise_level=T_START)
 finals = jax.jit(
     lambda p, n: engine.modulated_runs_batched(
-        p, n, c, uc, masks_tokens, masks_latent, cache, T_START, chunk=2 * NUM_MASKS
+        p, n, c, uc, masks_tok, masks_latent, cache, T_START, chunk=2 * NUM_MASKS
     )
 )(params, noised)
-print("modulated finals:", finals.shape)
 assert finals.shape == (2, NUM_MASKS, T, H, W, 4)
-plus, minus = finals[0], finals[1]
-diff_pm = float(jnp.max(jnp.abs(plus - minus)))
-print("max |+λ − −λ| latent diff:", diff_pm)
-assert diff_pm > 1e-3, "modulation had no effect!"
+dpm = float(jnp.max(jnp.abs(finals[0] - finals[1])))
+print("max |+λ − −λ| latent diff:", dpm)
+assert dpm > 1e-3
 
-# ---- Step 5: difference maps → segmentation --------------------------------
-d = jnp.sqrt(jnp.sum((plus - minus) ** 2, axis=-1))  # [M, T, H, W]
-d = gaussian_blur(d, 5, 3.0)
-seg = jnp.argmax(d, axis=0)  # [T, H, W]
-print("seg labels:", np.unique(np.asarray(seg)))
-
-# probe: blending must pin x outside the mask to the cached trajectory
+# blending pins outside-mask to cached trajectory
 m0 = masks_latent[0][..., None]
-xt_final = cache["xt"][NUM_STEPS - 1]
-outside = jnp.abs((finals[0, 0] - xt_final) * (1 - m0))
-print("max |outside-mask deviation from cached traj|:", float(outside.max()))
-assert float(outside.max()) < 1e-4, "latent blending failed to pin outside-mask region"
+outside = jnp.abs((finals[0, 0] - cache["xt"][NUM_STEPS - 1]) * (1 - m0))
+assert float(outside.max()) < 1e-4, outside.max()
 
-# probe: injection gate off (fresh engine without injection) still runs
-eng2 = VidSegEngine(
-    unet=unet, denoiser=engine.denoiser, sampler=engine.sampler,
-    guider=engine.guider,
-    mod_cfg=ModulationConfig(
-        modulate_block_idx=(mod_block,), modulate_timestep=(T_START,),
-        num_steps=NUM_STEPS, num_frames=T, is_injected_features=False,
-        is_latent_blending=False,
-    ),
-    harvest=svd_harvest_spec(cluster_blocks=(mod_block,)),
-)
-f2 = eng2.modulated_run(
-    params, noised, c, uc, masks_tokens[0], masks_latent[0],
-    jnp.asarray(1.0), cache, T_START,
-)
-print("no-injection no-blend run:", f2.shape, "finite:", bool(jnp.all(jnp.isfinite(f2))))
+# --- decode + step 5 -----------------------------------------------------------
+def decode_runs(z):  # [2, M, T, H, W, 4] → frames uint8-ish
+    flatz = z.reshape((-1,) + z.shape[2:])
+    frames = jax.vmap(lambda zz: fs.decode(zz, chunk=1))(flatz)
+    frames = jnp.clip((frames + 1) / 2, 0, 1) * 255.0
+    return frames.reshape(z.shape[:2] + frames.shape[1:])
 
+frames_pm = decode_runs(finals)
+print("decoded:", frames_pm.shape)
+diff = compute_difference(frames_pm[0], frames_pm[1], mode="uint8_wrap")
+seg = segmentation_argmax(diff, masks=masks_px, filter_s=0.7,
+                          labels=jnp.asarray(labels))
+print("seg:", seg.shape, "labels used:", np.unique(np.asarray(seg)))
 print("END-TO-END SLICE OK")

@@ -1,0 +1,210 @@
+"""Assemble a full DiffusionEngine from a reference-format YAML + checkpoint.
+
+Counterpart of `load_model` (svd_single_video_inference.py:564-587) +
+`DiffusionEngine.init_from_ckpt` (models/diffusion.py:85-103): parse the
+YAML (config.load_model_spec), initialize flax params, and fill them from
+the converted torch/safetensors state dict. With no checkpoint (smoke/bench
+runs in checkpoint-less environments) parameters stay randomly initialized.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vidseg_diffusion_tpu.config import ModelSpec, load_model_spec
+from vidseg_diffusion_tpu.engine.diffusion_engine import DiffusionEngine, FirstStage
+from vidseg_diffusion_tpu.engine.modulation import ModulationConfig
+from vidseg_diffusion_tpu.engine.vidseg import HarvestSpec, VidSegEngine
+from vidseg_diffusion_tpu.io.checkpoint import (
+    convert_state_dict,
+    load_torch_checkpoint,
+    sub_dict,
+    unet_key_fn,
+    vae_key_fn,
+)
+from vidseg_diffusion_tpu.models import vae as fvae
+from vidseg_diffusion_tpu.models.clip import (
+    CLIPTextConfig,
+    CLIPTextTransformer,
+    CLIPVisionConfig,
+    CLIPVisionTransformer,
+    clip_preprocess,
+    clip_text_key_fn,
+    clip_vision_key_fn,
+    split_packed_qkv,
+)
+from vidseg_diffusion_tpu.models.conditioner import (
+    Conditioner,
+    build_sd_text_conditioner,
+    build_svd_conditioner,
+)
+from vidseg_diffusion_tpu.models.unet import UNetModel
+
+
+def _init_unet_params(unet: UNetModel, rng: jax.Array):
+    cfg = unet.config
+    t = 2
+    bt = 2 * t
+    kwargs = {}
+    args = [
+        jnp.zeros((bt, 16, 16, cfg.in_channels)),
+        jnp.zeros((bt,)),
+        jnp.zeros((bt, 1, cfg.context_dim)),
+    ]
+    if cfg.adm_in_channels is not None:
+        args.append(jnp.zeros((bt, cfg.adm_in_channels)))
+    if cfg.video:
+        kwargs = dict(num_video_frames=t, image_only_indicator=jnp.zeros((2, t)))
+    return unet.init(rng, *args, **kwargs)["params"]
+
+
+@dataclasses.dataclass
+class Pipeline:
+    """A fully-assembled model stack ready for the VidSeg pipeline."""
+
+    spec: ModelSpec
+    unet: UNetModel
+    unet_params: Any
+    first_stage: FirstStage
+    conditioner: Optional[Conditioner]
+    clip_apply: Optional[Any] = None  # image or text tower apply fn
+
+    def make_engine(self, mod_cfg: ModulationConfig, harvest: HarvestSpec) -> VidSegEngine:
+        return VidSegEngine(
+            unet=self.unet,
+            denoiser=self.spec.denoiser,
+            sampler=self.spec.sampler,
+            guider=self.spec.guider,
+            mod_cfg=mod_cfg,
+            harvest=harvest,
+        )
+
+
+def build_pipeline(
+    config_path: str,
+    ckpt_path: Optional[str] = None,
+    num_steps: Optional[int] = None,
+    num_frames: Optional[int] = None,
+    dtype=jnp.float32,
+    seed: int = 0,
+) -> Pipeline:
+    spec = load_model_spec(
+        config_path, num_steps=num_steps, num_frames=num_frames, dtype=dtype
+    )
+    rng = jax.random.PRNGKey(seed)
+    unet = UNetModel(spec.unet_config)
+    unet_params = _init_unet_params(unet, rng)
+
+    enc = fvae.Encoder(spec.vae_config)
+    dec = fvae.Decoder(spec.vae_config)
+    z = spec.vae_config.z_channels
+    enc_params = enc.init(rng, jnp.zeros((1, 64, 64, 3)))["params"]
+    dec_params = dec.init(
+        rng, jnp.zeros((1, 8, 8, z)),
+        **({"timesteps": 1} if spec.vae_config.video_decoder else {}),
+    )["params"]
+
+    quant = post_quant = None
+    clip_apply = None
+    conditioner = None
+
+    sd = None
+    ckpt = ckpt_path or spec.ckpt_path
+    if ckpt:
+        sd = load_torch_checkpoint(ckpt)
+        unet_sd = sub_dict(sd, "model.diffusion_model.")
+        unet_params, unused = convert_state_dict(unet_params, unet_sd, unet_key_fn, dtype=dtype)
+        enc_sd = sub_dict(sd, "first_stage_model.encoder.")
+        dec_sd = sub_dict(sd, "first_stage_model.decoder.")
+        enc_params, _ = convert_state_dict(enc_params, enc_sd, vae_key_fn, dtype=dtype)
+        dec_params, _ = convert_state_dict(dec_params, dec_sd, vae_key_fn, dtype=dtype)
+        if "first_stage_model.quant_conv.weight" in sd:
+            quant = (
+                np.asarray(sd["first_stage_model.quant_conv.weight"]).transpose(2, 3, 1, 0),
+                np.asarray(sd["first_stage_model.quant_conv.bias"]),
+            )
+            post_quant = (
+                np.asarray(sd["first_stage_model.post_quant_conv.weight"]).transpose(2, 3, 1, 0),
+                np.asarray(sd["first_stage_model.post_quant_conv.bias"]),
+            )
+
+    first_stage = FirstStage(
+        enc, dec, enc_params, dec_params,
+        scale_factor=spec.scale_factor,
+        quant_conv=quant, post_quant_conv=post_quant,
+    )
+
+    # conditioner
+    if spec.conditioner_node is not None:
+        emb_models = spec.conditioner_node.get("params", {}).get("emb_models", [])
+        targets = [e["target"].rsplit(".", 1)[-1] for e in emb_models]
+        if "FrozenOpenCLIPImagePredictionEmbedder" in targets:
+            vision = CLIPVisionTransformer(CLIPVisionConfig(dtype=dtype))
+            vparams = None
+            if sd is not None:
+                vkeys = sub_dict(
+                    sd, "conditioner.embedders.0.open_clip.model."
+                )
+                vkeys = split_packed_qkv(vkeys)
+                vinit = vision.init(rng, jnp.zeros((1, 224, 224, 3)))["params"]
+                vparams, _ = convert_state_dict(vinit, vkeys, clip_vision_key_fn, dtype=dtype)
+            else:
+                vparams = vision.init(rng, jnp.zeros((1, 224, 224, 3)))["params"]
+
+            def clip_image_fn(frames):
+                return vision.apply({"params": vparams}, clip_preprocess(frames))
+
+            # SVD cond-frame encoder (AutoencoderKLModeOnly) shares the
+            # first-stage Encoder architecture; weights live under
+            # conditioner.embedders.3.encoder.encoder.
+            cenc_params = enc_params
+            cquant = quant
+            if sd is not None:
+                ckeys = sub_dict(sd, "conditioner.embedders.3.encoder.encoder.")
+                if ckeys:
+                    cinit = enc.init(rng, jnp.zeros((1, 64, 64, 3)))["params"]
+                    cenc_params, _ = convert_state_dict(cinit, ckeys, vae_key_fn, dtype=dtype)
+                qk = "conditioner.embedders.3.encoder.quant_conv.weight"
+                if qk in sd:
+                    cquant = (
+                        np.asarray(sd[qk]).transpose(2, 3, 1, 0),
+                        np.asarray(sd[qk.replace("weight", "bias")]),
+                    )
+
+            def vae_encode_fn(frames):
+                moments = enc.apply({"params": cenc_params}, frames)
+                if cquant is not None:
+                    k, b = cquant
+                    moments = jnp.einsum("bhwc,cd->bhwd", moments, k[0, 0]) + b
+                return fvae.gaussian_sample(moments, None)  # mode only
+
+            conditioner = build_svd_conditioner(clip_image_fn, vae_encode_fn)
+            clip_apply = clip_image_fn
+        elif "FrozenOpenCLIPEmbedder" in targets:
+            text = CLIPTextTransformer(CLIPTextConfig(dtype=dtype), penultimate=True)
+            if sd is not None:
+                tkeys = split_packed_qkv(sub_dict(sd, "conditioner.embedders.0.model."))
+                tinit = text.init(rng, jnp.zeros((1, 77), jnp.int32))["params"]
+                tparams, _ = convert_state_dict(tinit, tkeys, clip_text_key_fn, dtype=dtype)
+            else:
+                tparams = text.init(rng, jnp.zeros((1, 77), jnp.int32))["params"]
+
+            def clip_text_fn(tokens):
+                return text.apply({"params": tparams}, tokens)
+
+            conditioner = build_sd_text_conditioner(clip_text_fn)
+            clip_apply = clip_text_fn
+
+    return Pipeline(
+        spec=spec,
+        unet=unet,
+        unet_params=unet_params,
+        first_stage=first_stage,
+        conditioner=conditioner,
+        clip_apply=clip_apply,
+    )

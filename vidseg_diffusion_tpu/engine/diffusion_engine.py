@@ -1,0 +1,106 @@
+"""DiffusionEngine facade: model + denoiser + sampler + conditioner + VAE.
+
+Counterpart of sgm/models/diffusion.py DiffusionEngine (:19-151): owns the
+UNet, denoiser, sampler, conditioner and first-stage VAE; provides
+encode/decode_first_stage with the 0.18215 scale factor and chunked
+processing (`en_and_decode_n_samples_a_time`, diffusion.py:117-151 — the
+reference decodes 1 frame at a time; here the chunk is a static lax.map
+batch so the whole decode stays one compiled program).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from vidseg_diffusion_tpu.models import vae as vae_mod
+from vidseg_diffusion_tpu.models.conditioner import Conditioner
+from vidseg_diffusion_tpu.models.unet import UNetModel
+from vidseg_diffusion_tpu.engine.vidseg import VidSegEngine
+
+
+@dataclasses.dataclass(frozen=True)
+class FirstStage:
+    """VAE pair with scale factor (diffusion.py:117-151).
+
+    quant/post_quant 1×1 convs are the legacy AutoencoderKL path used by SD
+    2.1 (models/autoencoder.py:437-508); the SVD AutoencodingEngine has
+    neither."""
+
+    encoder: vae_mod.Encoder
+    decoder: vae_mod.Decoder
+    params_encoder: Any
+    params_decoder: Any
+    scale_factor: float = 0.18215
+    quant_conv: Optional[Any] = None       # (kernel [1,1,2z,2z], bias)
+    post_quant_conv: Optional[Any] = None  # (kernel [1,1,z,z], bias)
+
+    def encode(
+        self, x: jnp.ndarray, rng: Optional[jax.Array] = None, chunk: Optional[int] = None
+    ) -> jnp.ndarray:
+        """[-1,1] frames [B, H, W, 3] → scaled latents [B, H/8, W/8, z].
+        rng None → posterior mode (AutoencoderKLModeOnly semantics)."""
+
+        def enc(xc):
+            moments = self.encoder.apply({"params": self.params_encoder}, xc)
+            if self.quant_conv is not None:
+                k, b = self.quant_conv
+                moments = jnp.einsum("bhwc,cd->bhwd", moments, k[0, 0]) + b
+            return vae_mod.gaussian_sample(moments, rng)
+
+        z = _chunked(enc, x, chunk)
+        return self.scale_factor * z
+
+    def decode(
+        self, z: jnp.ndarray, chunk: Optional[int] = None, video_chunk_is_time: bool = True
+    ) -> jnp.ndarray:
+        """Scaled latents → [-1,1] frames. For the temporal VideoDecoder the
+        chunk is the `timesteps` the 3-D convs see (decoding_t,
+        svd_single_video_inference.py:42; diffusion.py:126-128)."""
+        z = z / self.scale_factor
+
+        def dec(zc):
+            if self.post_quant_conv is not None:
+                k, b = self.post_quant_conv
+                zc = jnp.einsum("bhwc,cd->bhwd", zc, k[0, 0]) + b
+            kwargs = {}
+            if self.decoder.config.video_decoder:
+                kwargs["timesteps"] = zc.shape[0] if video_chunk_is_time else 1
+            return self.decoder.apply({"params": self.params_decoder}, zc, **kwargs)
+
+        return _chunked(dec, z, chunk)
+
+
+def _chunked(fn, x: jnp.ndarray, chunk: Optional[int]) -> jnp.ndarray:
+    if chunk is None or chunk >= x.shape[0]:
+        return fn(x)
+    b = x.shape[0]
+    assert b % chunk == 0, (b, chunk)
+    xs = x.reshape((b // chunk, chunk) + x.shape[1:])
+    out = jax.lax.map(fn, xs)
+    return out.reshape((b,) + out.shape[2:])
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffusionEngine:
+    """Top-level facade (models/diffusion.py:19-151)."""
+
+    unet: UNetModel
+    unet_params: Any
+    vidseg: VidSegEngine  # carries denoiser/sampler/guider/mod config
+    conditioner: Conditioner
+    first_stage: FirstStage
+    en_and_decode_n_samples_a_time: Optional[int] = 1  # decoding_t default
+
+    def encode_first_stage(self, x, rng=None):
+        return self.first_stage.encode(x, rng, chunk=self.en_and_decode_n_samples_a_time)
+
+    def decode_first_stage(self, z):
+        return self.first_stage.decode(z, chunk=self.en_and_decode_n_samples_a_time)
+
+    @property
+    def sampler(self):
+        return self.vidseg.sampler

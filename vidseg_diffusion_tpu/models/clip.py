@@ -1,0 +1,224 @@
+"""OpenCLIP-compatible text and vision towers (flax).
+
+Counterparts of the open_clip ViT-H-14 towers consumed by the reference's
+conditioner embedders (sgm/modules/encoders/modules.py: FrozenOpenCLIPEmbedder
+:498-566 text/penultimate; FrozenOpenCLIPImageEmbedder :570-728 pooled image
+embedding). Architecture mirrors open_clip's ResidualAttentionBlock so the
+laion2b ViT-H checkpoint converts 1:1 (pre-LN attn + GELU MLP; packed QKV
+in_proj in the checkpoint is split by the converter).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vidseg_diffusion_tpu.ops.attention import dot_product_attention
+
+
+class ResidualAttentionBlock(nn.Module):
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, causal: bool = False) -> jax.Array:
+        width = x.shape[-1]
+        h = nn.LayerNorm(dtype=self.dtype, name="ln_1")(x)
+        b, l, _ = h.shape
+        q = nn.Dense(width, dtype=self.dtype, name="attn_q")(h)
+        k = nn.Dense(width, dtype=self.dtype, name="attn_k")(h)
+        v = nn.Dense(width, dtype=self.dtype, name="attn_v")(h)
+        dh = width // self.heads
+
+        def split(t):
+            return t.reshape(b, l, self.heads, dh).transpose(0, 2, 1, 3)
+
+        if causal:
+            # tiny seq (77) — explicit masked softmax is fine and fuses
+            logits = jnp.einsum(
+                "bhqd,bhkd->bhqk", split(q), split(k),
+                preferred_element_type=jnp.float32,
+            ) / jnp.sqrt(dh).astype(jnp.float32)
+            mask = jnp.tril(jnp.ones((l, l), bool))
+            logits = jnp.where(mask[None, None], logits, -jnp.inf)
+            w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", w, split(v))
+        else:
+            out = dot_product_attention(split(q), split(k), split(v))
+        out = out.transpose(0, 2, 1, 3).reshape(b, l, width)
+        out = nn.Dense(width, dtype=self.dtype, name="attn_out")(out)
+        x = x + out
+
+        h = nn.LayerNorm(dtype=self.dtype, name="ln_2")(x)
+        h = nn.Dense(width * 4, dtype=self.dtype, name="mlp_c_fc")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(width, dtype=self.dtype, name="mlp_c_proj")(h)
+        return x + h
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPTextConfig:
+    vocab_size: int = 49408
+    width: int = 1024
+    heads: int = 16
+    layers: int = 24
+    context_length: int = 77
+    dtype: jnp.dtype = jnp.float32
+
+
+class CLIPTextTransformer(nn.Module):
+    """Text tower; `penultimate=True` skips the last block and applies
+    ln_final (FrozenOpenCLIPEmbedder layer='penultimate' semantics,
+    modules.py:552-563)."""
+
+    config: CLIPTextConfig
+    penultimate: bool = True
+
+    @nn.compact
+    def __call__(self, tokens: jax.Array) -> jax.Array:
+        cfg = self.config
+        emb = self.param(
+            "token_embedding",
+            nn.initializers.normal(0.02),
+            (cfg.vocab_size, cfg.width),
+        )
+        pos = self.param(
+            "positional_embedding",
+            nn.initializers.normal(0.01),
+            (cfg.context_length, cfg.width),
+        )
+        x = emb[tokens].astype(cfg.dtype) + pos[None].astype(cfg.dtype)
+        n = cfg.layers - (1 if self.penultimate else 0)
+        for i in range(n):
+            x = ResidualAttentionBlock(
+                heads=cfg.heads, dtype=cfg.dtype, name=f"resblocks_{i}"
+            )(x, causal=True)
+        return nn.LayerNorm(dtype=cfg.dtype, name="ln_final")(x)
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPVisionConfig:
+    image_size: int = 224
+    patch_size: int = 14
+    width: int = 1280
+    heads: int = 16
+    layers: int = 32
+    output_dim: int = 1024
+    dtype: jnp.dtype = jnp.float32
+
+
+class CLIPVisionTransformer(nn.Module):
+    """Vision tower → pooled, projected embedding [b, output_dim]
+    (open_clip VisionTransformer; consumed at modules.py:693-728)."""
+
+    config: CLIPVisionConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cfg = self.config
+        b = x.shape[0]
+        # x: [b, 224, 224, 3] already CLIP-normalized
+        x = nn.Conv(
+            cfg.width, (cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size), use_bias=False,
+            dtype=cfg.dtype, name="conv1",
+        )(x.astype(cfg.dtype))
+        grid = x.shape[1] * x.shape[2]
+        x = x.reshape(b, grid, cfg.width)
+        cls = self.param("class_embedding", nn.initializers.normal(0.02), (cfg.width,))
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(cfg.dtype), (b, 1, cfg.width)), x], axis=1
+        )
+        pos = self.param(
+            "positional_embedding", nn.initializers.normal(0.01),
+            (grid + 1, cfg.width),
+        )
+        x = x + pos[None].astype(cfg.dtype)
+        x = nn.LayerNorm(dtype=cfg.dtype, name="ln_pre")(x)
+        for i in range(cfg.layers):
+            x = ResidualAttentionBlock(
+                heads=cfg.heads, dtype=cfg.dtype, name=f"resblocks_{i}"
+            )(x, causal=False)
+        pooled = nn.LayerNorm(dtype=cfg.dtype, name="ln_post")(x[:, 0])
+        proj = self.param(
+            "proj", nn.initializers.normal(0.02), (cfg.width, cfg.output_dim)
+        )
+        return pooled @ proj.astype(cfg.dtype)
+
+
+_CLIP_MEAN = jnp.array([0.48145466, 0.4578275, 0.40821073])
+_CLIP_STD = jnp.array([0.26862954, 0.26130258, 0.27577711])
+
+
+def clip_preprocess(x: jax.Array) -> jax.Array:
+    """[-1, 1] frames [b, h, w, 3] → 224² CLIP-normalized
+    (FrozenOpenCLIPImageEmbedder.preprocess, modules.py:620-632: bicubic
+    224 resize with antialias, then mean/std normalize)."""
+    x = jax.image.resize(
+        x, (x.shape[0], 224, 224, x.shape[3]), method="bicubic", antialias=True
+    )
+    x = (x + 1.0) / 2.0
+    return (x - _CLIP_MEAN) / _CLIP_STD
+
+
+def clip_text_key_fn(path: Tuple[str, ...]) -> str:
+    """flax path → open_clip text-tower checkpoint key. Packed in_proj is
+    handled by the converter's qkv splitter (see convert_clip_attn)."""
+    return _clip_key(path)
+
+
+def clip_vision_key_fn(path: Tuple[str, ...]) -> str:
+    return "visual." + _clip_key(path)
+
+
+def _clip_key(path: Tuple[str, ...]) -> str:
+    parts = list(path)
+    leaf = parts.pop()
+    segs = []
+    for p in parts:
+        if p.startswith("resblocks_"):
+            segs.append("transformer." + p.replace("resblocks_", "resblocks."))
+        elif p.startswith("attn_"):
+            segs.append("attn." + p.split("_", 1)[1])  # placeholder; packed qkv split upstream
+        elif p.startswith("mlp_"):
+            segs.append("mlp." + p.split("_", 1)[1])
+        else:
+            segs.append(p)
+    leaf_map = {"kernel": "weight", "scale": "weight", "bias": "bias"}
+    if parts and parts[-1] in ("token_embedding",):
+        return ".".join(segs) + ".weight"
+    if leaf in ("token_embedding", "positional_embedding", "class_embedding", "proj"):
+        return ".".join(segs + [leaf])
+    return ".".join(segs + [leaf_map[leaf]])
+
+
+def split_packed_qkv(sd: dict, prefix: str = "") -> dict:
+    """Split open_clip's packed attention projections
+    (`...attn.in_proj_weight` [3W, W]) into attn_q/attn_k/attn_v entries the
+    flax tree expects, and rename out_proj → attn.out."""
+    import numpy as np
+
+    out = dict(sd)
+    for k in list(sd.keys()):
+        if k.endswith("attn.in_proj_weight"):
+            w = np.asarray(sd[k])
+            w3 = w.shape[0] // 3
+            base = k[: -len("in_proj_weight")]
+            for i, name in enumerate(("q", "k", "v")):
+                out[base + f"{name}.weight"] = w[i * w3 : (i + 1) * w3]
+            del out[k]
+        elif k.endswith("attn.in_proj_bias"):
+            bvec = np.asarray(sd[k])
+            w3 = bvec.shape[0] // 3
+            base = k[: -len("in_proj_bias")]
+            for i, name in enumerate(("q", "k", "v")):
+                out[base + f"{name}.bias"] = bvec[i * w3 : (i + 1) * w3]
+            del out[k]
+        elif ".attn.out_proj." in k:
+            out[k.replace(".attn.out_proj.", ".attn.out.")] = sd[k]
+            del out[k]
+    return out

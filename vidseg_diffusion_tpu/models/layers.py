@@ -54,8 +54,9 @@ class GroupNorm32(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         orig_dtype = x.dtype
+        g = 32 if x.shape[-1] % 32 == 0 else math.gcd(32, x.shape[-1])
         out = nn.GroupNorm(
-            num_groups=32, epsilon=self.epsilon, dtype=jnp.float32,
+            num_groups=g, epsilon=self.epsilon, dtype=jnp.float32,
             param_dtype=jnp.float32, name="gn",
         )(x.astype(jnp.float32))
         return out.astype(orig_dtype)

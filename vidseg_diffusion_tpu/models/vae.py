@@ -27,8 +27,11 @@ def _norm(name: str):
         @nn.compact
         def __call__(self, x):
             dt = x.dtype
+            import math
+
+            g = 32 if x.shape[-1] % 32 == 0 else math.gcd(32, x.shape[-1])
             return nn.GroupNorm(
-                num_groups=32, epsilon=1e-6, dtype=jnp.float32,
+                num_groups=g, epsilon=1e-6, dtype=jnp.float32,
                 param_dtype=jnp.float32, name="gn",
             )(x.astype(jnp.float32)).astype(dt)
 

@@ -1,0 +1,306 @@
+"""The five-step VidSeg pipeline on one video (library form).
+
+Behavioral counterpart of scripts/sampling/svd_single_video_inference.py's
+`sample()` (:31-517) and the shared core of the VSPW sweeps — re-architected
+so every intermediate (attention features, x_t trajectory, masks, modulated
+latents, difference maps) stays in HBM. Filesystem writes happen only for
+user-facing artifacts (mask PNG trees, modulated frames, segmentation maps)
+in the reference's output layout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vidseg_diffusion_tpu.engine.build import Pipeline
+from vidseg_diffusion_tpu.engine.masks import (
+    GTMatchState,
+    correct_low_res_mask,
+    kmeans_masks,
+    match_gt_mask,
+)
+from vidseg_diffusion_tpu.engine.modulation import ModulationConfig
+from vidseg_diffusion_tpu.engine.segmentation import (
+    compute_difference,
+    segmentation_argmax,
+    soft_color_map,
+)
+from vidseg_diffusion_tpu.engine.vidseg import (
+    HarvestSpec,
+    masks_to_latent,
+    sd_harvest_spec,
+    svd_harvest_spec,
+)
+from vidseg_diffusion_tpu.io import video as vio
+from vidseg_diffusion_tpu.ops.image import resize_bicubic
+
+
+@dataclasses.dataclass
+class VidSegArgs:
+    """CLI-parity knobs (svd_single_video_inference.py:31-64, 600-625)."""
+
+    exp_name: str = "default"
+    num_steps: int = 25
+    seed: int = 1
+    fps_id: int = 14
+    motion_bucket_id: int = 127
+    cond_aug: float = 0.02
+    decoding_t: int = 1
+    modulate_block_idx: Tuple[int, ...] = (8,)
+    modulate_timestep: Tuple[int, ...] = (17,)
+    feature_timestep: Tuple[int, ...] = (24,)
+    modulate_schedule: str = "constant"
+    modulate_lambda_start: float = 50.0
+    modulate_lambda_end: float = 50.0
+    modulate_layer_type: Tuple[str, ...] = ("spatial",)
+    modulate_attn_type: Tuple[str, ...] = ("cross_attn",)
+    modulate_timestep_frames_schedule: str = "constant"
+    num_masks: int = 10
+    feature_extraction_mode: str = "kmeans_masks"
+    gt_mask_path: Optional[str] = None
+    is_injected_features: bool = False
+    is_latent_blending: bool = True
+    is_refine_mask: bool = False
+    is_aggre_attn: bool = False
+    feature_folder: str = "features_outputs"
+    inversion_type: str = "add_noise"
+    runs_chunk: int = 2
+    # SVD modulation t_start for the modulated runs (the reference hardcodes
+    # 14 when an input video is given, svd_single_video_inference.py:425-428)
+    modulate_t_start: int = 14
+    # SD pipeline: latent_mask_end = min(modulate_timestep)+1
+    # (sd_pipeline_vspw.py:490); SVD uses num_steps
+    sd_blend_window: bool = False
+
+
+@dataclasses.dataclass
+class VidSegResult:
+    seg_raw: np.ndarray            # [T, H, W] labels (unfiltered)
+    seg_filtered: np.ndarray       # [T, H, W] labels (filter_s)
+    masks: np.ndarray              # [K, T, fh, fw]
+    unique_labels: np.ndarray      # [K]
+    gt_state: Optional[GTMatchState] = None
+
+
+def _cluster_block_names(args: VidSegArgs, video: bool) -> Tuple[int, ...]:
+    """Clustering blocks: 8 (or 8,7,6 with --is_aggre_attn) for SVD
+    (svd_single_video_inference.py:361-364); SD uses 7 by default
+    (sd_pipeline_vspw.py:639)."""
+    base = 8 if video else 7
+    if args.is_aggre_attn:
+        return (base, base - 1, base - 2)
+    return (base,)
+
+
+def make_mod_config(args: VidSegArgs, num_frames: int, video: bool) -> ModulationConfig:
+    return ModulationConfig(
+        modulate_block_idx=tuple(args.modulate_block_idx),
+        modulate_timestep=tuple(args.modulate_timestep),
+        feature_timestep=tuple(args.feature_timestep),
+        modulate_schedule=args.modulate_schedule,
+        modulate_lambda_start=args.modulate_lambda_start,
+        modulate_lambda_end=args.modulate_lambda_end,
+        modulate_layer_type=tuple(args.modulate_layer_type),
+        modulate_attn_type=tuple(args.modulate_attn_type),
+        modulate_timestep_frames_schedule=args.modulate_timestep_frames_schedule,
+        num_steps=args.num_steps,
+        num_frames=num_frames,
+        is_injected_features=args.is_injected_features,
+        is_latent_blending=args.is_latent_blending,
+        latent_mask_end=(
+            min(args.modulate_timestep) + 1 if args.sd_blend_window else args.num_steps
+        ),
+    )
+
+
+def make_harvest(args: VidSegArgs, video: bool) -> HarvestSpec:
+    cluster = _cluster_block_names(args, video)
+    # refinement tracking uses output block 7's spatial q
+    # (svd_single_video_inference.py:393)
+    if args.is_refine_mask and 7 not in cluster:
+        cluster = cluster + (7,)
+    if video:
+        return svd_harvest_spec(cluster_blocks=cluster, injection=args.is_injected_features)
+    return sd_harvest_spec(cluster_blocks=cluster, injection=args.is_injected_features)
+
+
+def run_single_video(
+    pipeline: Pipeline,
+    frames: np.ndarray,        # [T, H, W, 3] in [-1, 1], H/W % 64 == 0
+    frame_names: Sequence[str],
+    args: VidSegArgs,
+    ori_hw: Optional[Tuple[int, int]] = None,
+    gt_mask: Optional[np.ndarray] = None,      # flattened first-frame GT at feature res
+    gt_state: Optional[GTMatchState] = None,   # carried across VSPW batches
+    text_tokens: Optional[np.ndarray] = None,  # SD 2.1 text path
+    write_outputs: bool = True,
+) -> VidSegResult:
+    t, hpx, wpx = frames.shape[:3]
+    video = pipeline.spec.unet_config.video
+    fdiv = 8
+    h_lat, w_lat = hpx // fdiv, wpx // fdiv
+
+    mod_cfg = make_mod_config(args, t, video)
+    harvest = make_harvest(args, video)
+    engine = pipeline.make_engine(mod_cfg, harvest)
+    fs = pipeline.first_stage
+    rng = jax.random.PRNGKey(args.seed)
+
+    # ---- conditioning (svd_single_video_inference.py:282-312) -------------
+    frames_j = jnp.asarray(frames)
+    if video:
+        image = frames_j[:1]
+        r_aug, rng = jax.random.split(rng)[0], jax.random.fold_in(rng, 1)
+        batch = {
+            "cond_frames_without_noise": image,
+            "cond_frames": image
+            + args.cond_aug * jax.random.normal(r_aug, image.shape),
+            "fps_id": jnp.array([float(args.fps_id)]),
+            "motion_bucket_id": jnp.array([float(args.motion_bucket_id)]),
+            "cond_aug": jnp.array([args.cond_aug]),
+        }
+        c1, uc1 = pipeline.conditioner.get_unconditional_conditioning(
+            batch,
+            force_uc_zero_embeddings=["cond_frames", "cond_frames_without_noise"],
+        )
+
+        def per_frame(d):
+            return {k: jnp.repeat(v, t, axis=0) for k, v in d.items()}
+
+        c, uc = per_frame(c1), per_frame(uc1)
+    else:
+        assert text_tokens is not None, "SD path needs tokenized text"
+        empty = jnp.asarray(text_tokens)  # [1, 77] empty-prompt tokens
+        ctx = pipeline.clip_apply(empty)  # [1, 77, 1024]
+        c = {"crossattn": jnp.repeat(ctx, t, axis=0)}
+        uc = {"crossattn": jnp.repeat(ctx, t, axis=0)}
+
+    # ---- steps 1+2: noise + feature/xt pass --------------------------------
+    t_start_feat = (
+        min(args.modulate_timestep) if args.inversion_type == "add_noise" else 0
+    )
+    latent = fs.encode(frames_j, rng=None, chunk=args.decoding_t)
+    r_noise = jax.random.fold_in(rng, 2)
+    x0, cache = jax.jit(
+        lambda p, l, r: engine.xt_cache_pass(p, l, c, uc, r, t_start_feat),
+        static_argnames=(),
+    )(pipeline.unet_params, latent, r_noise)
+
+    # ---- step 3: masks ------------------------------------------------------
+    cluster_blocks = _cluster_block_names(args, video)
+    feat_t = args.feature_timestep[0]
+    feats = [
+        cache[HarvestSpec.name(b, "spatial_self", "q")][feat_t]
+        for b in cluster_blocks
+    ]
+    feat = jnp.mean(jnp.stack(feats), axis=0) if len(feats) > 1 else feats[0]
+    div = mod_cfg.block_resolution_divisor(cluster_blocks[0])
+    fh, fw = h_lat // div, w_lat // div
+
+    unique_labels = None
+    new_gt_state = None
+    if args.feature_extraction_mode == "kmeans_masks":
+        masks_tok, unique_labels = kmeans_masks(
+            jax.random.fold_in(rng, 3), feat, args.num_masks, t
+        )
+    elif args.feature_extraction_mode == "match_gt_mask":
+        masks_tok, new_gt_state = match_gt_mask(
+            jax.random.fold_in(rng, 3), feat, args.num_masks, t,
+            gt_mask=gt_mask, state=gt_state,
+        )
+        unique_labels = new_gt_state.unique_labels
+    else:
+        raise ValueError(args.feature_extraction_mode)
+
+    if args.is_refine_mask:
+        track_feat = cache[HarvestSpec.name(7, "spatial_self", "q")][feat_t]
+        tdiv = mod_cfg.block_resolution_divisor(7)
+        masks_tok = correct_low_res_mask(
+            track_feat, masks_tok, t, width=w_lat // tdiv
+        )
+
+    k = masks_tok.shape[0]
+    masks_px = np.asarray(masks_tok).reshape(k, t, fh, fw)
+
+    # ---- step 4: modulated runs ---------------------------------------------
+    mdiv = mod_cfg.block_resolution_divisor(args.modulate_block_idx[0])
+    mh, mw = h_lat // mdiv, w_lat // mdiv
+    # per-run modulation masks at the modulated block's token resolution
+    # (load_feature_masks PIL-bicubic resize, svd_single_video_inference.py:97)
+    masks_block = resize_bicubic(jnp.asarray(masks_px), (mh, mw))
+    masks_block = jnp.clip(masks_block, 0.0, 1.0).reshape(k, t, mh * mw)
+    masks_latent = masks_to_latent(
+        jnp.asarray(masks_px).reshape(k, t, fh, fw), (h_lat, w_lat)
+    )
+
+    t_start_mod = args.modulate_t_start
+    noised = engine.sampler.add_noise(r_noise, latent, noise_level=t_start_feat)
+    finals = jax.jit(
+        lambda p, n, mt, ml: engine.modulated_runs_batched(
+            p, n, c, uc, mt, ml, cache, t_start_mod, chunk=min(args.runs_chunk, 2 * k)
+        )
+    )(pipeline.unet_params, noised, masks_block, masks_latent)
+
+    # decode ±λ runs (chunked like decoding_t)
+    def decode_all(z):
+        flat = z.reshape((-1,) + z.shape[2:])
+        frames_out = jax.lax.map(lambda zz: fs.decode(zz, chunk=args.decoding_t), flat)
+        return frames_out.reshape(z.shape[:2] + frames_out.shape[1:])
+
+    decoded = decode_all(finals)  # [2, K, T, H, W, 3] in [-1, 1]
+    decoded = jnp.clip((decoded + 1.0) / 2.0, 0.0, 1.0) * 255.0
+
+    # ---- step 5: difference maps + seg --------------------------------------
+    diff = compute_difference(decoded[0], decoded[1], mode="uint8_wrap")
+    labels_arr = jnp.asarray(unique_labels)
+    seg_raw = np.asarray(segmentation_argmax(diff, labels=labels_arr))
+    seg_filtered = np.asarray(
+        segmentation_argmax(
+            diff, masks=jnp.asarray(masks_px), filter_s=0.7, labels=labels_arr
+        )
+    )
+
+    # ---- user-facing artifacts ----------------------------------------------
+    if write_outputs:
+        base = os.path.join(args.feature_folder, args.exp_name)
+        mode_dir = args.feature_extraction_mode
+        block_str = "_".join(f"output_block_{b}" for b in cluster_blocks)
+        mask_dir = os.path.join(
+            base, mode_dir, f"{block_str}_spatial_self_attn_q_masks_{args.num_masks}"
+        )
+        vio.save_binary_masks(masks_px, mask_dir, frame_names, feat_t, unique_labels)
+        mod_dir = os.path.join(base, "modulated_output")
+        for sign_idx, lam in ((0, args.modulate_lambda_start), (1, -args.modulate_lambda_start)):
+            for ki, lab in enumerate(unique_labels):
+                vio.save_frames_png(
+                    np.asarray(decoded[sign_idx, ki]) / 255.0,
+                    os.path.join(mod_dir, f"{0:06d}_l_{lam}_mask_{int(lab)}"),
+                    frame_names,
+                    ori_hw,
+                )
+        cm = soft_color_map()
+        for name, seg in (("segmentation_map_raw", seg_raw),
+                          ("segmentation_map_raw_f_0.7", seg_filtered)):
+            vio.save_label_maps(
+                seg,
+                os.path.join(base, name, f"{0:06d}_l_{args.modulate_lambda_start}"),
+                frame_names,
+                color_map=cm,
+                color_folder=os.path.join(
+                    base, name.replace("_raw", ""), f"{0:06d}_l_{args.modulate_lambda_start}"
+                ),
+            )
+
+    return VidSegResult(
+        seg_raw=seg_raw,
+        seg_filtered=seg_filtered,
+        masks=masks_px,
+        unique_labels=np.asarray(unique_labels),
+        gt_state=new_gt_state,
+    )
