@@ -1,0 +1,132 @@
+"""Eval metrics, VSPW batching, config loader, tokenizer."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vidseg_diffusion_tpu.eval.metrics import (
+    SegmentationEvaluator,
+    mean_iou,
+    video_consistency,
+)
+from vidseg_diffusion_tpu.pipelines.vspw import sliding_batches
+from vidseg_diffusion_tpu.io.tokenizer import tokenize, tokenize_empty, SOT, EOT
+
+
+class TestMeanIoU:
+    def test_perfect_prediction(self):
+        gt = np.random.RandomState(0).randint(0, 5, (2, 8, 8))
+        assert mean_iou(jnp.asarray(gt), jnp.asarray(gt), 5) == pytest.approx(1.0)
+
+    def test_half_overlap(self):
+        gt = np.zeros((1, 4, 4), np.int32)
+        pred = np.zeros((1, 4, 4), np.int32)
+        pred[:, :, 2:] = 1  # half the pixels wrongly class 1
+        # class 0: inter 8, union 16 → 0.5; class 1 absent from GT → skipped
+        assert mean_iou(jnp.asarray(pred), jnp.asarray(gt), 2) == pytest.approx(0.5)
+
+    def test_ignore_label(self):
+        gt = np.zeros((1, 2, 2), np.int32)
+        gt[0, 0, 0] = 255
+        pred = np.zeros((1, 2, 2), np.int32)
+        pred[0, 0, 0] = 1  # wrong but ignored
+        assert mean_iou(jnp.asarray(pred), jnp.asarray(gt), 2) == pytest.approx(1.0)
+
+
+class TestVC:
+    def test_perfect(self):
+        gt = np.zeros((10, 4, 4), np.int32)
+        assert video_consistency(jnp.asarray(gt), jnp.asarray(gt), 8) == pytest.approx(1.0)
+
+    def test_too_short(self):
+        gt = np.zeros((4, 4, 4), np.int32)
+        assert video_consistency(jnp.asarray(gt), jnp.asarray(gt), 8) is None
+
+    def test_partial(self):
+        t = 8
+        gt = np.zeros((t, 2, 2), np.int32)
+        pred = gt.copy()
+        pred[:, 0, 0] = 1  # one pixel consistently wrong
+        vc = video_consistency(jnp.asarray(pred), jnp.asarray(gt), 8)
+        assert vc == pytest.approx(3 / 4)
+
+    def test_evaluator_accumulates(self):
+        ev = SegmentationEvaluator(num_classes=3)
+        gt = np.random.RandomState(1).randint(0, 3, (9, 6, 6))
+        ev.add_video(gt, gt)
+        res = ev.results()
+        assert res["mIoU"] == pytest.approx(1.0)
+        assert res["mVC_8"] == pytest.approx(1.0)
+        assert "mVC_16" not in res  # video too short
+
+
+class TestSlidingBatches:
+    def test_exact_multiple(self):
+        assert sliding_batches(28, 14) == [(0, 14), (14, 28)]
+
+    def test_tail_overlap(self):
+        # 20 frames: second window realigned to (6, 20)
+        assert sliding_batches(20, 14) == [(0, 14), (6, 20)]
+
+    def test_short_video(self):
+        assert sliding_batches(10, 14) == [(0, 10)]
+
+    def test_covers_everything(self):
+        for n in (14, 15, 27, 30, 41):
+            covered = set()
+            for s, e in sliding_batches(n, 14):
+                covered.update(range(s, e))
+            assert covered == set(range(n))
+
+
+class TestTokenizer:
+    def test_empty_prompt(self):
+        t = tokenize_empty(2)
+        assert t.shape == (2, 77)
+        assert t[0, 0] == SOT and t[0, 1] == EOT and t[0, 2:].sum() == 0
+
+    def test_tokenize_empty_string(self):
+        t = tokenize([""])
+        assert t.shape == (1, 77)
+
+    def test_nonempty_raises(self):
+        with pytest.raises(ValueError):
+            tokenize(["a photo of a dog"])
+
+
+class TestConfigLoader:
+    def test_load_tiny_svd(self):
+        from vidseg_diffusion_tpu.config import load_model_spec
+
+        spec = load_model_spec(
+            "configs/inference/svd_tiny.yaml", num_steps=8, num_frames=3
+        )
+        assert spec.unet_config.video
+        assert spec.unet_config.model_channels == 32
+        assert spec.sampler.num_steps == 8
+        assert spec.guider.num_frames == 3
+        assert spec.vae_config.video_decoder
+
+    def test_load_sd21(self):
+        from vidseg_diffusion_tpu.config import load_model_spec
+        from vidseg_diffusion_tpu.diffusion import DiscreteDenoiser, VanillaCFG
+
+        spec = load_model_spec("configs/inference/sd_2_1.yaml")
+        assert not spec.unet_config.video
+        assert isinstance(spec.denoiser, DiscreteDenoiser)
+        assert isinstance(spec.guider, VanillaCFG)
+        assert spec.guider.scale == 5
+        assert spec.sampler.num_steps == 40
+        assert not spec.vae_config.video_decoder
+
+    def test_load_full_svd(self):
+        from vidseg_diffusion_tpu.config import load_model_spec
+        from vidseg_diffusion_tpu.diffusion import LinearPredictionGuider
+
+        spec = load_model_spec(
+            "configs/inference/svd.yaml", num_steps=25, num_frames=14
+        )
+        assert spec.unet_config.model_channels == 320
+        assert spec.unet_config.adm_in_channels == 768
+        assert isinstance(spec.guider, LinearPredictionGuider)
+        assert spec.sampler.discretization.sigma_max == 700.0

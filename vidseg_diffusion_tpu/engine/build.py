@@ -144,7 +144,9 @@ def build_pipeline(
         emb_models = spec.conditioner_node.get("params", {}).get("emb_models", [])
         targets = [e["target"].rsplit(".", 1)[-1] for e in emb_models]
         if "FrozenOpenCLIPImagePredictionEmbedder" in targets:
-            vision = CLIPVisionTransformer(CLIPVisionConfig(dtype=dtype))
+            node = emb_models[targets.index("FrozenOpenCLIPImagePredictionEmbedder")]
+            vc = (node.get("params") or {}).get("vision_cfg") or {}
+            vision = CLIPVisionTransformer(CLIPVisionConfig(dtype=dtype, **vc))
             vparams = None
             if sd is not None:
                 vkeys = sub_dict(
@@ -186,7 +188,11 @@ def build_pipeline(
             conditioner = build_svd_conditioner(clip_image_fn, vae_encode_fn)
             clip_apply = clip_image_fn
         elif "FrozenOpenCLIPEmbedder" in targets:
-            text = CLIPTextTransformer(CLIPTextConfig(dtype=dtype), penultimate=True)
+            node = emb_models[targets.index("FrozenOpenCLIPEmbedder")]
+            tc = (node.get("params") or {}).get("text_cfg") or {}
+            text = CLIPTextTransformer(
+                CLIPTextConfig(dtype=dtype, **tc), penultimate=True
+            )
             if sd is not None:
                 tkeys = split_packed_qkv(sub_dict(sd, "conditioner.embedders.0.model."))
                 tinit = text.init(rng, jnp.zeros((1, 77), jnp.int32))["params"]

@@ -71,9 +71,11 @@ class VidSegArgs:
     feature_folder: str = "features_outputs"
     inversion_type: str = "add_noise"
     runs_chunk: int = 2
-    # SVD modulation t_start for the modulated runs (the reference hardcodes
-    # 14 when an input video is given, svd_single_video_inference.py:425-428)
-    modulate_t_start: int = 14
+    # SVD modulation t_start for the modulated runs. The reference hardcodes
+    # 14 when an input video is given (svd_single_video_inference.py:425-428),
+    # 3 steps before the default modulate_timestep 17; None generalizes to
+    # max(0, min(modulate_timestep) - 3) so non-default step counts work.
+    modulate_t_start: Optional[int] = None
     # SD pipeline: latent_mask_end = min(modulate_timestep)+1
     # (sd_pipeline_vspw.py:490); SVD uses num_steps
     sd_blend_window: bool = False
@@ -98,6 +100,35 @@ def _cluster_block_names(args: VidSegArgs, video: bool) -> Tuple[int, ...]:
     return (base,)
 
 
+def _resolve_blocks(unet_cfg, blocks: Sequence[int], mod_cfg: ModulationConfig):
+    """Map reference output-block indices to this model's layout.
+
+    On the full 12-block UNet this is the identity. On reduced topologies
+    (tiny test configs) a requested index is re-targeted to the last
+    attention block whose resolution matches the reference block's role
+    (the /8,/4,/2,/1 map, svd_single_video_inference.py:484-495), so the
+    same CLI flags drive any scale of model. Returns (resolved indices,
+    {index: latent-divisor})."""
+    _, _, out_layout = unet_cfg.block_layout()
+    attn = {i: s["ds"] for i, s in enumerate(out_layout) if s.get("attn")}
+    max_ds = max(attn.values())
+    resolved, divisors = [], {}
+    used = set()
+    for b in blocks:
+        if b in attn and len(out_layout) == 12:
+            idx = b
+        else:
+            target = min(mod_cfg.block_resolution_divisor(b), max_ds)
+            candidates = [i for i, d in attn.items() if d == target and i not in used]
+            if not candidates:
+                candidates = [i for i, d in attn.items() if i not in used] or list(attn)
+            idx = max(candidates)
+        used.add(idx)
+        resolved.append(idx)
+        divisors[idx] = attn[idx]
+    return tuple(resolved), divisors
+
+
 def make_mod_config(args: VidSegArgs, num_frames: int, video: bool) -> ModulationConfig:
     return ModulationConfig(
         modulate_block_idx=tuple(args.modulate_block_idx),
@@ -119,15 +150,30 @@ def make_mod_config(args: VidSegArgs, num_frames: int, video: bool) -> Modulatio
     )
 
 
-def make_harvest(args: VidSegArgs, video: bool) -> HarvestSpec:
-    cluster = _cluster_block_names(args, video)
+def make_harvest(
+    args: VidSegArgs,
+    video: bool,
+    cluster_blocks: Sequence[int],
+    track_blocks: Sequence[int],
+    injection_blocks: Sequence[int],
+) -> HarvestSpec:
+    cluster = tuple(cluster_blocks)
     # refinement tracking uses output block 7's spatial q
     # (svd_single_video_inference.py:393)
-    if args.is_refine_mask and 7 not in cluster:
-        cluster = cluster + (7,)
+    for b in track_blocks:
+        if b not in cluster:
+            cluster = cluster + (b,)
     if video:
-        return svd_harvest_spec(cluster_blocks=cluster, injection=args.is_injected_features)
-    return sd_harvest_spec(cluster_blocks=cluster, injection=args.is_injected_features)
+        return svd_harvest_spec(
+            cluster_blocks=cluster,
+            injection=args.is_injected_features,
+            injection_blocks=tuple(injection_blocks),
+        )
+    return sd_harvest_spec(
+        cluster_blocks=cluster,
+        injection=args.is_injected_features,
+        injection_blocks=tuple(injection_blocks),
+    )
 
 
 def run_single_video(
@@ -146,8 +192,25 @@ def run_single_video(
     fdiv = 8
     h_lat, w_lat = hpx // fdiv, wpx // fdiv
 
-    mod_cfg = make_mod_config(args, t, video)
-    harvest = make_harvest(args, video)
+    base_cfg = make_mod_config(args, t, video)
+    unet_cfg = pipeline.spec.unet_config
+    cluster_blocks, cluster_div = _resolve_blocks(
+        unet_cfg, _cluster_block_names(args, video), base_cfg
+    )
+    mod_blocks, mod_div = _resolve_blocks(
+        unet_cfg, tuple(args.modulate_block_idx), base_cfg
+    )
+    track_blocks, track_div = (
+        _resolve_blocks(unet_cfg, (7,), base_cfg) if args.is_refine_mask else ((), {})
+    )
+    _, _, out_layout = unet_cfg.block_layout()
+    attn_blocks = tuple(i for i, s in enumerate(out_layout) if s.get("attn"))
+    mod_cfg = dataclasses.replace(
+        base_cfg,
+        modulate_block_idx=mod_blocks,
+        output_block_indices=attn_blocks,
+    )
+    harvest = make_harvest(args, video, cluster_blocks, track_blocks, attn_blocks)
     engine = pipeline.make_engine(mod_cfg, harvest)
     fs = pipeline.first_stage
     rng = jax.random.PRNGKey(args.seed)
@@ -193,14 +256,13 @@ def run_single_video(
     )(pipeline.unet_params, latent, r_noise)
 
     # ---- step 3: masks ------------------------------------------------------
-    cluster_blocks = _cluster_block_names(args, video)
     feat_t = args.feature_timestep[0]
     feats = [
         cache[HarvestSpec.name(b, "spatial_self", "q")][feat_t]
         for b in cluster_blocks
     ]
     feat = jnp.mean(jnp.stack(feats), axis=0) if len(feats) > 1 else feats[0]
-    div = mod_cfg.block_resolution_divisor(cluster_blocks[0])
+    div = cluster_div[cluster_blocks[0]]
     fh, fw = h_lat // div, w_lat // div
 
     unique_labels = None
@@ -219,17 +281,33 @@ def run_single_video(
         raise ValueError(args.feature_extraction_mode)
 
     if args.is_refine_mask:
-        track_feat = cache[HarvestSpec.name(7, "spatial_self", "q")][feat_t]
-        tdiv = mod_cfg.block_resolution_divisor(7)
-        masks_tok = correct_low_res_mask(
-            track_feat, masks_tok, t, width=w_lat // tdiv
-        )
+        tb = track_blocks[0]
+        track_feat = cache[HarvestSpec.name(tb, "spatial_self", "q")][feat_t]
+        tdiv = track_div[tb]
+        track_masks = masks_tok
+        if tdiv != div:  # tracking block at a different token resolution
+            tm = resize_bicubic(
+                masks_tok.reshape(-1, t, fh, fw), (h_lat // tdiv, w_lat // tdiv)
+            )
+            track_masks = (tm > 0.5).astype(jnp.float32).reshape(
+                masks_tok.shape[0], t, -1
+            )
+        refined = correct_low_res_mask(track_feat, track_masks, t, width=w_lat // tdiv)
+        if tdiv != div:
+            rm = resize_bicubic(
+                refined.reshape(-1, t, h_lat // tdiv, w_lat // tdiv), (fh, fw)
+            )
+            masks_tok = (rm > 0.5).astype(jnp.float32).reshape(
+                refined.shape[0], t, fh * fw
+            )
+        else:
+            masks_tok = refined
 
     k = masks_tok.shape[0]
     masks_px = np.asarray(masks_tok).reshape(k, t, fh, fw)
 
     # ---- step 4: modulated runs ---------------------------------------------
-    mdiv = mod_cfg.block_resolution_divisor(args.modulate_block_idx[0])
+    mdiv = mod_div[mod_blocks[0]]
     mh, mw = h_lat // mdiv, w_lat // mdiv
     # per-run modulation masks at the modulated block's token resolution
     # (load_feature_masks PIL-bicubic resize, svd_single_video_inference.py:97)
@@ -239,7 +317,11 @@ def run_single_video(
         jnp.asarray(masks_px).reshape(k, t, fh, fw), (h_lat, w_lat)
     )
 
-    t_start_mod = args.modulate_t_start
+    t_start_mod = (
+        args.modulate_t_start
+        if args.modulate_t_start is not None
+        else max(0, min(args.modulate_timestep) - 3)
+    )
     noised = engine.sampler.add_noise(r_noise, latent, noise_level=t_start_feat)
     finals = jax.jit(
         lambda p, n, mt, ml: engine.modulated_runs_batched(

@@ -1,0 +1,178 @@
+"""VSPW dataset sweep: sliding-window batches, GT-seeded label propagation,
+per-video fault isolation, and on-the-fly mIoU/mVC evaluation.
+
+Counterpart of scripts/sampling/svd_pipeline_vspw.py / sd_pipeline_vspw.py:
+- 14-frame sliding batches with tail overlap (`start_idx = end_idx -
+  num_frames` for the last partial window, svd_pipeline_vspw.py:243-250)
+- first batch seeds labels from the first frame's GT mask
+  (`input_video_path.replace("origin", "mask")`, :~376-385), later batches
+  propagate via KNN against carried (ref_mask, ref_feature_map) state
+  (:229-232; feature_extraction.py:567-613)
+- per-video try/except skip (:651-676)
+- manual sharding via --exp_start_idx/--num_exp (:610-611, 645-647), kept
+  for CLI parity; the TPU-native scale-out is the ('data') mesh axis
+- evaluation (mIoU, mVC_8/16) is new — the reference emits raw PNGs for
+  external tooling only (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import traceback
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+from vidseg_diffusion_tpu.engine.build import Pipeline
+from vidseg_diffusion_tpu.eval.metrics import SegmentationEvaluator
+from vidseg_diffusion_tpu.io.video import list_video_frames, load_frames
+from vidseg_diffusion_tpu.pipelines.single_video import (
+    VidSegArgs,
+    VidSegResult,
+    run_single_video,
+)
+
+
+def sliding_batches(n: int, num_frames: int) -> List[Tuple[int, int]]:
+    """[(start, end)] windows covering n frames; the final partial window is
+    re-aligned to end at n (tail overlap, svd_pipeline_vspw.py:243-250)."""
+    out = []
+    start = 0
+    while start < n:
+        end = start + num_frames
+        if end > n:
+            end = n
+            start = max(0, end - num_frames)
+        out.append((start, end))
+        if end >= n:
+            break
+        start = end
+    return out
+
+
+def load_gt_mask(
+    video_dir: str, frame_name: str, fh: int, fw: int
+) -> Optional[np.ndarray]:
+    """First-frame GT mask at feature resolution (PIL NEAREST,
+    feature_extraction.py:580-584). VSPW layout: .../origin/ ↔ .../mask/."""
+    mask_dir = video_dir.replace("origin", "mask")
+    for ext in (".png", ".jpg"):
+        p = os.path.join(mask_dir, frame_name + ext)
+        if os.path.exists(p):
+            m = Image.open(p).resize((fw, fh), Image.NEAREST)
+            return np.asarray(m).reshape(-1)
+    return None
+
+
+@dataclasses.dataclass
+class VSPWVideoResult:
+    seg: Dict[str, np.ndarray]  # frame name → label map
+    unique_labels: np.ndarray
+
+
+def run_vspw_video(
+    pipeline: Pipeline,
+    video_dir: str,
+    args: VidSegArgs,
+    num_frames: int = 14,
+    text_tokens: Optional[np.ndarray] = None,
+    use_gt_mask: bool = True,
+) -> VSPWVideoResult:
+    paths = list_video_frames(video_dir)
+    frames_all, names_all, ori_hw = load_frames(paths)
+    n = len(names_all)
+
+    seg_out: Dict[str, np.ndarray] = {}
+    gt_state = None
+    unique_labels = None
+
+    h_lat, w_lat = frames_all.shape[1] // 8, frames_all.shape[2] // 8
+    # feature resolution of the clustering block (ds=2 for SVD block 8,
+    # ds=2 for SD block 7)
+    fh, fw = h_lat // 2, w_lat // 2
+
+    for bi, (s, e) in enumerate(sliding_batches(n, num_frames)):
+        frames = frames_all[s:e]
+        names = names_all[s:e]
+        gt_mask = None
+        if bi == 0 and use_gt_mask and args.feature_extraction_mode == "match_gt_mask":
+            gt_mask = load_gt_mask(video_dir, names_all[0], fh, fw)
+        result = run_single_video(
+            pipeline,
+            frames,
+            names,
+            args,
+            ori_hw=ori_hw,
+            gt_mask=gt_mask,
+            gt_state=gt_state,
+            text_tokens=text_tokens,
+            write_outputs=False,
+        )
+        gt_state = result.gt_state
+        unique_labels = result.unique_labels
+        for i, name in enumerate(names):
+            # overlapping tail frames: later batch wins (reference overwrite
+            # order)
+            seg_out[name] = result.seg_filtered[i]
+
+    return VSPWVideoResult(seg=seg_out, unique_labels=unique_labels)
+
+
+def run_vspw_sweep(
+    pipeline: Pipeline,
+    data_root: str,
+    video_names: Sequence[str],
+    args: VidSegArgs,
+    num_frames: int = 14,
+    exp_start_idx: int = 0,
+    num_exp: Optional[int] = None,
+    text_tokens: Optional[np.ndarray] = None,
+    num_classes: int = 124,
+    evaluate: bool = True,
+) -> Dict:
+    """Sweep the val split, skipping failed videos (svd_pipeline_vspw.py
+    :651-676), optionally scoring against GT masks."""
+    names = list(video_names)[exp_start_idx:]
+    if num_exp is not None:
+        names = names[:num_exp]
+
+    evaluator = SegmentationEvaluator(num_classes) if evaluate else None
+    done, failed = 0, []
+    for vname in names:
+        video_dir = os.path.join(data_root, vname, "origin")
+        try:
+            res = run_vspw_video(
+                pipeline, video_dir, args, num_frames=num_frames,
+                text_tokens=text_tokens,
+            )
+            done += 1
+            if evaluator is not None:
+                pred, gt = _load_gt_for_eval(video_dir, res)
+                if pred is not None:
+                    evaluator.add_video(pred, gt)
+        except Exception as e:  # per-video fault isolation
+            traceback.print_exc()
+            failed.append((vname, str(e)))
+            continue
+    out = {"videos_done": done, "videos_failed": failed}
+    if evaluator is not None and evaluator._cm is not None:
+        out.update(evaluator.results())
+    return out
+
+
+def _load_gt_for_eval(video_dir: str, res: VSPWVideoResult):
+    mask_dir = video_dir.replace("origin", "mask")
+    preds, gts = [], []
+    for name, seg in sorted(res.seg.items()):
+        p = os.path.join(mask_dir, name + ".png")
+        if not os.path.exists(p):
+            return None, None
+        gt = np.asarray(Image.open(p))
+        sh, sw = seg.shape
+        if gt.shape != seg.shape:
+            gt = np.asarray(Image.open(p).resize((sw, sh), Image.NEAREST))
+        preds.append(seg)
+        gts.append(gt)
+    return np.stack(preds), np.stack(gts)

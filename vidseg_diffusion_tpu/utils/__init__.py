@@ -25,3 +25,21 @@ def append_zero(x: jax.Array) -> jax.Array:
 
 def default(val, d):
     return val if val is not None else d
+
+
+def ensure_backend() -> str:
+    """Initialize a usable JAX backend, falling back to CPU when the TPU is
+    unavailable or already claimed by another process (axon grants are
+    exclusive). VIDSEG_PLATFORM=cpu|tpu forces a platform. Returns the
+    backend name."""
+    import os
+
+    forced = os.environ.get("VIDSEG_PLATFORM")
+    if forced:
+        jax.config.update("jax_platforms", forced)
+        return jax.default_backend()
+    try:
+        return jax.default_backend()
+    except RuntimeError:
+        jax.config.update("jax_platforms", "cpu")
+        return jax.default_backend()
