@@ -1,0 +1,200 @@
+"""Enum-driven sampling API.
+
+Counterpart of sgm/inference/api.py (:19-385): typed SamplingParams, sampler
+/ discretization / guider enums, and a SamplingPipeline exposing
+text_to_image / image_to_image over an assembled Pipeline. The heavy lifting
+(jitted CFG sampling) is shared with the VidSeg engine's denoise plumbing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from enum import Enum
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from vidseg_diffusion_tpu.diffusion import (
+    EDMDiscretization,
+    IdentityGuider,
+    LegacyDDPMDiscretization,
+    LinearPredictionGuider,
+    VanillaCFG,
+)
+from vidseg_diffusion_tpu.diffusion.sampling import (
+    EulerAncestralSampler,
+    EulerEDMSampler,
+    HeunEDMSampler,
+)
+from vidseg_diffusion_tpu.diffusion.sampling_extra import (
+    DPMPP2MSampler,
+    DPMPP2SAncestralSampler,
+    LinearMultistepSampler,
+)
+from vidseg_diffusion_tpu.engine.build import Pipeline
+
+
+class Sampler(str, Enum):
+    EULER_EDM = "EulerEDMSampler"
+    HEUN_EDM = "HeunEDMSampler"
+    EULER_ANCESTRAL = "EulerAncestralSampler"
+    DPMPP2S_ANCESTRAL = "DPMPP2SAncestralSampler"
+    DPMPP2M = "DPMPP2MSampler"
+    LINEAR_MULTISTEP = "LinearMultistepSampler"
+
+
+class Discretization(str, Enum):
+    LEGACY_DDPM = "LegacyDDPMDiscretization"
+    EDM = "EDMDiscretization"
+
+
+class Guider(str, Enum):
+    VANILLA = "VanillaCFG"
+    IDENTITY = "IdentityGuider"
+
+
+_SAMPLERS = {
+    Sampler.EULER_EDM: EulerEDMSampler,
+    Sampler.HEUN_EDM: HeunEDMSampler,
+    Sampler.EULER_ANCESTRAL: EulerAncestralSampler,
+    Sampler.DPMPP2S_ANCESTRAL: DPMPP2SAncestralSampler,
+    Sampler.DPMPP2M: DPMPP2MSampler,
+    Sampler.LINEAR_MULTISTEP: LinearMultistepSampler,
+}
+
+
+@dataclasses.dataclass
+class SamplingParams:
+    """sgm/inference/api.py SamplingParams counterpart."""
+
+    width: int = 512
+    height: int = 512
+    steps: int = 40
+    sampler: Sampler = Sampler.EULER_EDM
+    discretization: Discretization = Discretization.LEGACY_DDPM
+    guider: Guider = Guider.VANILLA
+    scale: float = 5.0
+    eta: float = 1.0
+    img2img_strength: float = 1.0
+    sigma_min: float = 0.002
+    sigma_max: float = 80.0
+    rho: float = 7.0
+    s_churn: float = 0.0
+    s_tmin: float = 0.0
+    s_tmax: float = 999.0
+    s_noise: float = 1.0
+
+
+class SamplingPipeline:
+    """txt2img / img2img over an assembled Pipeline (api.py:164-385)."""
+
+    def __init__(self, pipeline: Pipeline):
+        self.pipeline = pipeline
+
+    def _make_sampler(self, params: SamplingParams):
+        if params.discretization == Discretization.EDM:
+            disc = EDMDiscretization(params.sigma_min, params.sigma_max, params.rho)
+        else:
+            disc = LegacyDDPMDiscretization()
+        cls = _SAMPLERS[params.sampler]
+        kwargs = dict(
+            discretization=disc, num_steps=params.steps,
+            s_churn=params.s_churn, s_tmin=params.s_tmin,
+            s_tmax=params.s_tmax, s_noise=params.s_noise,
+        )
+        if params.sampler in (Sampler.EULER_ANCESTRAL, Sampler.DPMPP2S_ANCESTRAL):
+            kwargs["eta"] = params.eta
+        return cls(**kwargs)
+
+    def _guider(self, params: SamplingParams):
+        if params.guider == Guider.VANILLA:
+            return VanillaCFG(scale=params.scale)
+        return IdentityGuider()
+
+    def _denoise_fn(self, c: Dict, uc: Dict, guider):
+        p = self.pipeline
+
+        def denoise_fn(x, sigma, i):
+            b = x.shape[0]
+            s = jnp.full((b,), sigma, dtype=x.dtype)
+            x_in, s_in, cond = guider.prepare_inputs(x, s, c, uc)
+
+            def network(xs, c_noise, cond_d):
+                if "concat" in cond_d:
+                    xs = jnp.concatenate([xs, cond_d["concat"].astype(xs.dtype)], -1)
+                return p.unet.apply(
+                    {"params": p.unet_params}, xs, c_noise,
+                    cond_d.get("crossattn"), cond_d.get("vector"),
+                )
+
+            from vidseg_diffusion_tpu.utils import append_dims
+
+            den = p.spec.denoiser
+            sq = den.possibly_quantize_sigma(s_in)
+            cs, co, ci, cn = den.scaling(append_dims(sq, x_in.ndim))
+            cn = den.possibly_quantize_c_noise(cn.reshape(s_in.shape))
+            out = network(x_in * ci, cn, cond) * co + x_in * cs
+            return guider(out, sigma), None
+
+        return denoise_fn
+
+    def text_to_image(
+        self,
+        params: SamplingParams,
+        prompt_tokens,
+        negative_prompt_tokens=None,
+        samples: int = 1,
+        rng: Optional[jax.Array] = None,
+    ):
+        p = self.pipeline
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        ctx = p.clip_apply(jnp.asarray(prompt_tokens))
+        neg = (
+            p.clip_apply(jnp.asarray(negative_prompt_tokens))
+            if negative_prompt_tokens is not None
+            else jnp.zeros_like(ctx)
+        )
+        c = {"crossattn": jnp.repeat(ctx, samples, 0)}
+        uc = {"crossattn": jnp.repeat(neg, samples, 0)}
+        z_shape = (samples, params.height // 8, params.width // 8, 4)
+        r_init, r_loop = jax.random.split(rng)
+        x = jax.random.normal(r_init, z_shape)
+        sampler = self._make_sampler(params)
+        guider = self._guider(params)
+        z, _ = sampler(self._denoise_fn(c, uc, guider), x, rng=r_loop)
+        frames = p.first_stage.decode(z)
+        return jnp.clip((frames + 1.0) / 2.0, 0.0, 1.0)
+
+    def image_to_image(
+        self,
+        params: SamplingParams,
+        image,  # [B, H, W, 3] in [-1, 1]
+        prompt_tokens,
+        negative_prompt_tokens=None,
+        rng: Optional[jax.Array] = None,
+    ):
+        """Noising strength maps to the skipped step count
+        (api.py do_img2img + helpers.py)."""
+        p = self.pipeline
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        sampler = self._make_sampler(params)
+        guider = self._guider(params)
+        ctx = p.clip_apply(jnp.asarray(prompt_tokens))
+        neg = (
+            p.clip_apply(jnp.asarray(negative_prompt_tokens))
+            if negative_prompt_tokens is not None
+            else jnp.zeros_like(ctx)
+        )
+        b = image.shape[0]
+        c = {"crossattn": jnp.repeat(ctx, b, 0)}
+        uc = {"crossattn": jnp.repeat(neg, b, 0)}
+        z = p.first_stage.encode(jnp.asarray(image))
+        t_start = int(params.steps * (1.0 - params.img2img_strength))
+        r_noise, r_loop = jax.random.split(rng)
+        noised = sampler.add_noise(r_noise, z, noise_level=t_start)
+        zf, _ = sampler(
+            self._denoise_fn(c, uc, guider), noised, t_start=t_start, rng=r_loop
+        )
+        frames = p.first_stage.decode(zf)
+        return jnp.clip((frames + 1.0) / 2.0, 0.0, 1.0)
