@@ -46,8 +46,12 @@ def parse_args():
     p.add_argument("--ckpt_path", type=str, default=None)
     p.add_argument("--feature_folder", type=str, default="features_outputs")
     p.add_argument("--runs_chunk", type=int, default=2)
+    p.add_argument("--dtype", type=str, default=None, choices=["bfloat16", "float32"],
+                   help="compute dtype (default: bfloat16 on TPU — the reference runs fp16 autocast — else float32)")
     p.add_argument("--num_classes", type=int, default=124)
     p.add_argument("--no_eval", default=False, action="store_true")
+    p.add_argument("--manifest", type=str, default=None,
+                   help="JSON-lines resume journal; completed videos are skipped on re-run")
     return p.parse_args()
 
 
@@ -75,9 +79,16 @@ def main():
     ckpt = args.ckpt_path if (args.ckpt_path and os.path.exists(args.ckpt_path)) else None
     if ckpt is None:
         print("WARNING: no checkpoint — random weights smoke mode")
+    import jax.numpy as jnp
+
+    dtype = (
+        jnp.bfloat16
+        if (args.dtype == "bfloat16" or (args.dtype is None and ensure_backend() == "tpu"))
+        else jnp.float32
+    )
     pipeline = build_pipeline(
         args.model_config, ckpt_path=ckpt,
-        num_steps=args.num_steps, num_frames=args.num_frames,
+        num_steps=args.num_steps, num_frames=args.num_frames, dtype=dtype,
     )
 
     csv_i = lambda s: tuple(int(x) for x in s.split(",") if x)
@@ -110,6 +121,7 @@ def main():
         num_frames=args.num_frames,
         exp_start_idx=args.exp_start_idx, num_exp=args.num_exp,
         num_classes=args.num_classes, evaluate=not args.no_eval,
+        manifest_path=args.manifest,
     )
     print(json.dumps(out, default=str))
 

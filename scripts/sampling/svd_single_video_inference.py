@@ -43,6 +43,8 @@ def parse_args():
     p.add_argument("--num_steps", type=int, default=25)
     p.add_argument("--feature_folder", type=str, default="features_outputs")
     p.add_argument("--runs_chunk", type=int, default=2)
+    p.add_argument("--dtype", type=str, default=None, choices=["bfloat16", "float32"],
+                   help="compute dtype (default: bfloat16 on TPU — the reference runs fp16 autocast — else float32)")
     return p.parse_args()
 
 
@@ -73,12 +75,20 @@ def main():
     num_frames = len(names)
     print(f"loaded {num_frames} frames, model size {frames.shape[1]}x{frames.shape[2]}")
 
+    import jax.numpy as jnp
+
+    dtype = (
+        jnp.bfloat16
+        if (args.dtype == "bfloat16" or (args.dtype is None and ensure_backend() == "tpu"))
+        else jnp.float32
+    )
     ckpt = args.ckpt_path
     pipeline = build_pipeline(
         args.model_config,
         ckpt_path=ckpt if (ckpt and os.path.exists(ckpt)) else _maybe_yaml_ckpt(args),
         num_steps=args.num_steps,
         num_frames=num_frames,
+        dtype=dtype,
     )
 
     gt_mask = None

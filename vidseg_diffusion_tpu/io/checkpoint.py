@@ -195,3 +195,32 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
 
 def sub_dict(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
     return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+# -- native (orbax) snapshots -------------------------------------------------
+# The reference only ever loads torch checkpoints (models/diffusion.py:85-103);
+# converted pytrees are snapshotted natively so later runs skip conversion.
+
+
+def save_params(path: str, params) -> None:
+    import orbax.checkpoint as ocp
+    import os
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), params)
+    ckptr.wait_until_finished()
+
+
+def load_params(path: str, like=None):
+    import orbax.checkpoint as ocp
+    import os
+
+    ckptr = ocp.StandardCheckpointer()
+    if like is not None:
+        import jax
+
+        target = jax.tree.map(ocp.utils.to_shape_dtype_struct, like) if hasattr(
+            ocp.utils, "to_shape_dtype_struct"
+        ) else like
+        return ckptr.restore(os.path.abspath(path), target)
+    return ckptr.restore(os.path.abspath(path))

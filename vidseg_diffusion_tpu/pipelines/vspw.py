@@ -131,16 +131,44 @@ def run_vspw_sweep(
     text_tokens: Optional[np.ndarray] = None,
     num_classes: int = 124,
     evaluate: bool = True,
+    manifest_path: Optional[str] = None,
 ) -> Dict:
     """Sweep the val split, skipping failed videos (svd_pipeline_vspw.py
-    :651-676), optionally scoring against GT masks."""
+    :651-676), optionally scoring against GT masks.
+
+    `manifest_path` enables explicit resume: completed/failed videos are
+    journaled as JSON-lines and skipped on re-run — replacing the
+    reference's implicit resume-by-artifacts-on-disk + manual
+    --exp_start_idx bookkeeping (SURVEY.md §5)."""
+    import json
+
     names = list(video_names)[exp_start_idx:]
     if num_exp is not None:
         names = names[:num_exp]
 
+    already = set()
+    if manifest_path and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                    if rec.get("status") == "done":
+                        already.add(rec["video"])
+                except Exception:
+                    continue
+
+    def journal(rec):
+        if manifest_path:
+            os.makedirs(os.path.dirname(manifest_path) or ".", exist_ok=True)
+            with open(manifest_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+
     evaluator = SegmentationEvaluator(num_classes) if evaluate else None
-    done, failed = 0, []
+    done, failed, skipped = 0, [], 0
     for vname in names:
+        if vname in already:
+            skipped += 1
+            continue
         video_dir = os.path.join(data_root, vname, "origin")
         try:
             res = run_vspw_video(
@@ -148,6 +176,7 @@ def run_vspw_sweep(
                 text_tokens=text_tokens,
             )
             done += 1
+            journal({"video": vname, "status": "done"})
             if evaluator is not None:
                 pred, gt = _load_gt_for_eval(video_dir, res)
                 if pred is not None:
@@ -155,8 +184,9 @@ def run_vspw_sweep(
         except Exception as e:  # per-video fault isolation
             traceback.print_exc()
             failed.append((vname, str(e)))
+            journal({"video": vname, "status": "failed", "error": str(e)})
             continue
-    out = {"videos_done": done, "videos_failed": failed}
+    out = {"videos_done": done, "videos_failed": failed, "videos_skipped": skipped}
     if evaluator is not None and evaluator._cm is not None:
         out.update(evaluator.results())
     return out
