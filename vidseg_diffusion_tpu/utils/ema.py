@@ -10,11 +10,13 @@ from __future__ import annotations
 import dataclasses
 from typing import Any
 
+import flax.struct
+
 import jax
 import jax.numpy as jnp
 
 
-@dataclasses.dataclass(frozen=True)
+@flax.struct.dataclass
 class EmaState:
     params: Any
     num_updates: jnp.ndarray  # int32 scalar
