@@ -1,0 +1,89 @@
+"""End-to-end swan-scale pipeline timing on the real TPU.
+
+Runs the full VidSeg pipeline (encode → feature/x_t pass → KMeans masks →
+2·num_masks modulated runs with latent blending → decode → difference maps →
+argmax) at the swan demo's scale — 14 frames, 832×448, full 1.52B SVD UNet,
+bf16, random weights (weights don't change cost) — and prints per-stage and
+total wall-clock.
+
+The reference's structural cost model for the same work is 1 + 2·num_masks
+full denoising loops plus per-step disk round-trips (SURVEY.md §6).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--num_masks", type=int, default=5)
+    p.add_argument("--frames", type=int, default=14)
+    p.add_argument("--height", type=int, default=448)
+    p.add_argument("--width", type=int, default=832)
+    p.add_argument("--runs_chunk", type=int, default=1)
+    p.add_argument("--num_steps", type=int, default=25)
+    args = p.parse_args()
+
+    os.makedirs(".jax_cache", exist_ok=True)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vidseg_diffusion_tpu.engine.build import build_pipeline
+    from vidseg_diffusion_tpu.pipelines.single_video import (
+        VidSegArgs,
+        run_single_video,
+    )
+    from vidseg_diffusion_tpu.utils.profiling import StepTimer
+
+    print("backend:", jax.default_backend())
+    t, hpx, wpx = args.frames, args.height, args.width
+
+    t0 = time.perf_counter()
+    pipeline = build_pipeline(
+        "configs/inference/svd.yaml", ckpt_path=None,
+        num_steps=args.num_steps, num_frames=t, dtype=jnp.bfloat16,
+    )
+    print(f"build+init: {time.perf_counter()-t0:.1f}s", flush=True)
+
+    rng = np.random.RandomState(0)
+    frames = (rng.rand(t, hpx, wpx, 3).astype(np.float32) * 2 - 1)
+    names = [f"{i:05d}" for i in range(t)]
+
+    vargs = VidSegArgs(
+        exp_name="swan_bench",
+        num_steps=args.num_steps,
+        num_masks=args.num_masks,
+        runs_chunk=args.runs_chunk,
+        feature_folder="/tmp/swan_bench_out",
+        is_latent_blending=True,
+    )
+    # warm (compile) run
+    t0 = time.perf_counter()
+    res = run_single_video(pipeline, frames, names, vargs, write_outputs=False)
+    print(f"first (compile) run: {time.perf_counter()-t0:.1f}s", flush=True)
+
+    # timed run (new noise seed → no dispatch caching)
+    vargs2 = VidSegArgs(**{**vargs.__dict__, "seed": 2})
+    t0 = time.perf_counter()
+    res = run_single_video(pipeline, frames, names, vargs2, write_outputs=False)
+    total = time.perf_counter() - t0
+    print(
+        f"e2e swan pipeline: {total:.1f}s total, {total/t:.2f} s/frame, "
+        f"{t/total:.2f} frames/sec (num_masks={args.num_masks}, "
+        f"runs={2*args.num_masks}, steps={args.num_steps})"
+    )
+    print("labels:", res.unique_labels)
+
+
+if __name__ == "__main__":
+    main()

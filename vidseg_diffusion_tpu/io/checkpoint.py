@@ -27,9 +27,11 @@ Path = Tuple[str, ...]
 
 def _adapt(w: np.ndarray, target_shape: Tuple[int, ...], leaf: str) -> np.ndarray:
     """Adapt a torch tensor layout to the flax leaf's expected shape."""
-    if leaf in ("scale", "bias", "mix_factor", "embedding"):
-        if leaf == "embedding":
-            return w  # [num, dim] identical
+    if leaf in ("scale", "bias", "mix_factor", "embedding",
+                "token_embedding", "positional_embedding",
+                "class_embedding", "proj"):
+        if leaf in ("embedding", "token_embedding", "positional_embedding", "proj"):
+            return w  # layout identical in torch and flax
         return w.reshape(target_shape)
     if leaf == "kernel":
         if w.ndim == 2 and len(target_shape) == 2:

@@ -27,7 +27,7 @@ class ResidualAttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, causal: bool = False) -> jax.Array:
         width = x.shape[-1]
-        h = nn.LayerNorm(dtype=self.dtype, name="ln_1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x)
         b, l, _ = h.shape
         q = nn.Dense(width, dtype=self.dtype, name="attn_q")(h)
         k = nn.Dense(width, dtype=self.dtype, name="attn_k")(h)
@@ -53,7 +53,7 @@ class ResidualAttentionBlock(nn.Module):
         out = nn.Dense(width, dtype=self.dtype, name="attn_out")(out)
         x = x + out
 
-        h = nn.LayerNorm(dtype=self.dtype, name="ln_2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x)
         h = nn.Dense(width * 4, dtype=self.dtype, name="mlp_c_fc")(h)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(width, dtype=self.dtype, name="mlp_c_proj")(h)
@@ -97,7 +97,7 @@ class CLIPTextTransformer(nn.Module):
             x = ResidualAttentionBlock(
                 heads=cfg.heads, dtype=cfg.dtype, name=f"resblocks_{i}"
             )(x, causal=True)
-        return nn.LayerNorm(dtype=cfg.dtype, name="ln_final")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="ln_final")(x)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -138,12 +138,12 @@ class CLIPVisionTransformer(nn.Module):
             (grid + 1, cfg.width),
         )
         x = x + pos[None].astype(cfg.dtype)
-        x = nn.LayerNorm(dtype=cfg.dtype, name="ln_pre")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="ln_pre")(x)
         for i in range(cfg.layers):
             x = ResidualAttentionBlock(
                 heads=cfg.heads, dtype=cfg.dtype, name=f"resblocks_{i}"
             )(x, causal=False)
-        pooled = nn.LayerNorm(dtype=cfg.dtype, name="ln_post")(x[:, 0])
+        pooled = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="ln_post")(x[:, 0])
         proj = self.param(
             "proj", nn.initializers.normal(0.02), (cfg.width, cfg.output_dim)
         )
@@ -189,9 +189,9 @@ def _clip_key(path: Tuple[str, ...]) -> str:
         else:
             segs.append(p)
     leaf_map = {"kernel": "weight", "scale": "weight", "bias": "bias"}
-    if parts and parts[-1] in ("token_embedding",):
-        return ".".join(segs) + ".weight"
-    if leaf in ("token_embedding", "positional_embedding", "class_embedding", "proj"):
+    if leaf == "token_embedding":
+        return ".".join(segs + ["token_embedding", "weight"])
+    if leaf in ("positional_embedding", "class_embedding", "proj"):
         return ".".join(segs + [leaf])
     return ".".join(segs + [leaf_map[leaf]])
 

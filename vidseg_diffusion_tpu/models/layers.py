@@ -296,7 +296,7 @@ class BasicTransformerBlock(nn.Module):
         modulation: Optional[BlockModulation] = None,
         injection: Optional[BlockInjection] = None,
     ) -> jax.Array:
-        ln = lambda name: nn.LayerNorm(dtype=self.dtype, name=name)
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
         attn1 = CrossAttention(
             heads=self.heads, dim_head=self.dim_head, dtype=self.dtype, name="attn1"
         )

@@ -66,14 +66,14 @@ class VideoTransformerBlock(nn.Module):
         if self.ff_in:
             x_skip = x
             x = FeedForward(dtype=self.dtype, name="ff_in")(
-                nn.LayerNorm(dtype=self.dtype, name="norm_in")(x)
+                nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_in")(x)
             )
             x = x + x_skip  # is_res: inner_dim == dim
 
         a1 = CrossAttention(
             heads=self.heads, dim_head=self.dim_head, dtype=self.dtype, name="attn1"
         )(
-            nn.LayerNorm(dtype=self.dtype, name="norm1")(x),
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x),
             context=None,
             injection=injection.attn1 if injection is not None else None,
         )
@@ -83,14 +83,14 @@ class VideoTransformerBlock(nn.Module):
 
         a2 = CrossAttention(
             heads=self.heads, dim_head=self.dim_head, dtype=self.dtype, name="attn2"
-        )(nn.LayerNorm(dtype=self.dtype, name="norm2")(x), context=context)
+        )(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x), context=context)
         if modulation is not None and modulation.cross_attn is not None:
             a2 = modulation.cross_attn.temporal_add(a2)
         x = a2 + x
 
         x_skip = x
         f = FeedForward(dtype=self.dtype, name="ff")(
-            nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
         )
         if modulation is not None and modulation.ff_out is not None:
             f = modulation.ff_out.temporal_add(f)
