@@ -54,16 +54,26 @@ def save_frames_png(
     folder: str,
     frame_names: Sequence[str],
     ori_hw: Optional[Tuple[int, int]] = None,
+    writer=None,
 ):
     """Write per-frame PNGs, optionally resized back to the original size
-    (cv2.resize in the reference, :183-190; PIL bilinear here)."""
+    (cv2.resize in the reference, :183-190; PIL bilinear here). With a
+    ParallelFrameWriter the encodes run off-thread (GIL-free native codec)."""
     os.makedirs(folder, exist_ok=True)
     arr = np.clip(frames * 255.0, 0, 255).astype(np.uint8)
     for i, name in enumerate(frame_names):
-        img = Image.fromarray(arr[i])
+        px = arr[i]
         if ori_hw is not None:
-            img = img.resize((ori_hw[1], ori_hw[0]), Image.BILINEAR)
-        img.save(os.path.join(folder, f"{name}.png"))
+            px = np.asarray(
+                Image.fromarray(px).resize((ori_hw[1], ori_hw[0]), Image.BILINEAR)
+            )
+        path = os.path.join(folder, f"{name}.png")
+        if writer is not None:
+            writer.submit(path, px)
+        else:
+            from vidseg_diffusion_tpu.io.native import write_png
+
+            write_png(path, px)
 
 
 def save_binary_masks(
@@ -75,16 +85,18 @@ def save_binary_masks(
 ):
     """Reference mask tree: {folder}/kmeans_time_{t}_frame_{name}/mask_{i}.png
     (feature_extraction.py:73-85)."""
+    from vidseg_diffusion_tpu.io.native import ParallelFrameWriter
+
     k, t = masks.shape[:2]
     label_ids = labels if labels is not None else range(k)
+    writer = ParallelFrameWriter(workers=4)
     for fi, name in enumerate(frame_names):
         sub = os.path.join(folder, f"kmeans_time_{feature_timestep}_frame_{name}")
         os.makedirs(sub, exist_ok=True)
         for ki, lab in enumerate(label_ids):
             m = (masks[ki, fi] * 255).astype(np.uint8)
-            Image.fromarray(m).convert("L").save(
-                os.path.join(sub, f"mask_{int(lab)}.png")
-            )
+            writer.submit(os.path.join(sub, f"mask_{int(lab)}.png"), m)
+    writer.close()
 
 
 def save_label_maps(

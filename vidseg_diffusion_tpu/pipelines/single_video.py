@@ -358,6 +358,9 @@ def run_single_video(
         )
         vio.save_binary_masks(masks_px, mask_dir, frame_names, feat_t, unique_labels)
         mod_dir = os.path.join(base, "modulated_output")
+        from vidseg_diffusion_tpu.io.native import ParallelFrameWriter
+
+        writer = ParallelFrameWriter(workers=4)
         for sign_idx, lam in ((0, args.modulate_lambda_start), (1, -args.modulate_lambda_start)):
             for ki, lab in enumerate(unique_labels):
                 vio.save_frames_png(
@@ -365,7 +368,9 @@ def run_single_video(
                     os.path.join(mod_dir, f"{0:06d}_l_{lam}_mask_{int(lab)}"),
                     frame_names,
                     ori_hw,
+                    writer=writer,
                 )
+        writer.close()
         cm = soft_color_map()
         for name, seg in (("segmentation_map_raw", seg_raw),
                           ("segmentation_map_raw_f_0.7", seg_filtered)):
