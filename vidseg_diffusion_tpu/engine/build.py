@@ -92,7 +92,17 @@ def build_pipeline(
     num_frames: Optional[int] = None,
     dtype=jnp.float32,
     seed: int = 0,
+    param_dtype=None,
 ) -> Pipeline:
+    """param_dtype defaults to `dtype`: with bf16 compute the weights are
+    stored bf16 too (the reference keeps fp32 weights under fp16 autocast;
+    on TPU bf16 weights halve HBM — the 1.5B UNet + ViT-H CLIP + VAE drop
+    from ~9 GB to ~4.5 GB — with no extra loss vs bf16 compute)."""
+    param_dtype = param_dtype if param_dtype is not None else dtype
+
+    def cast(tree):
+        return jax.tree.map(lambda a: a.astype(param_dtype), tree)
+
     spec = load_model_spec(
         config_path, num_steps=num_steps, num_frames=num_frames, dtype=dtype
     )
@@ -134,7 +144,7 @@ def build_pipeline(
             )
 
     first_stage = FirstStage(
-        enc, dec, enc_params, dec_params,
+        enc, dec, cast(enc_params), cast(dec_params),
         scale_factor=spec.scale_factor,
         quant_conv=quant, post_quant_conv=post_quant,
     )
@@ -158,6 +168,8 @@ def build_pipeline(
             else:
                 vparams = vision.init(rng, jnp.zeros((1, 224, 224, 3)))["params"]
 
+            vparams = cast(vparams)
+
             def clip_image_fn(frames):
                 return vision.apply({"params": vparams}, clip_preprocess(frames))
 
@@ -177,6 +189,8 @@ def build_pipeline(
                         np.asarray(sd[qk]).transpose(2, 3, 1, 0),
                         np.asarray(sd[qk.replace("weight", "bias")]),
                     )
+
+            cenc_params = cast(cenc_params)
 
             def vae_encode_fn(frames):
                 moments = enc.apply({"params": cenc_params}, frames)
@@ -200,6 +214,8 @@ def build_pipeline(
             else:
                 tparams = text.init(rng, jnp.zeros((1, 77), jnp.int32))["params"]
 
+            tparams = cast(tparams)
+
             def clip_text_fn(tokens):
                 return text.apply({"params": tparams}, tokens)
 
@@ -209,7 +225,7 @@ def build_pipeline(
     return Pipeline(
         spec=spec,
         unet=unet,
-        unet_params=unet_params,
+        unet_params=cast(unet_params),
         first_stage=first_stage,
         conditioner=conditioner,
         clip_apply=clip_apply,
