@@ -46,7 +46,39 @@ from vidseg_diffusion_tpu.models.conditioner import (
 from vidseg_diffusion_tpu.models.unet import UNetModel
 
 
-def _init_unet_params(unet: UNetModel, rng: jax.Array):
+def _param_shapes(init_fn) -> Any:
+    """Abstract param tree via eval_shape — no tracing-to-device, no compile.
+
+    Initializing a 1.5B-param UNet by executing `init` on the TPU costs a
+    full-model compile just to learn shapes; the converter only needs the
+    shapes (checkpoint values replace everything), and smoke mode fills them
+    with synthesized randoms on device."""
+    return jax.eval_shape(init_fn)["params"]
+
+
+def _synthesize_params(shapes, rng: jax.Array, dtype):
+    """Random params from a shape tree, generated on device under one jit
+    (smoke/bench mode — values only need to be well-scaled, not trained)."""
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+
+    @jax.jit
+    def make(key):
+        outs = []
+        for i, s in enumerate(leaves):
+            k = jax.random.fold_in(key, i)
+            if s.ndim <= 1:
+                # biases zero, norm scales ~1 (scale leaves share this rank)
+                outs.append(jnp.ones(s.shape, dtype) * 0.5)
+            else:
+                fan_in = int(np.prod(s.shape[:-1]))
+                std = (1.0 / max(fan_in, 1)) ** 0.5
+                outs.append(jax.random.normal(k, s.shape, dtype) * std)
+        return jax.tree_util.tree_unflatten(treedef, outs)
+
+    return make(rng)
+
+
+def _unet_shapes(unet: UNetModel, rng: jax.Array):
     cfg = unet.config
     t = 2
     bt = 2 * t
@@ -60,7 +92,7 @@ def _init_unet_params(unet: UNetModel, rng: jax.Array):
         args.append(jnp.zeros((bt, cfg.adm_in_channels)))
     if cfg.video:
         kwargs = dict(num_video_frames=t, image_only_indicator=jnp.zeros((2, t)))
-    return unet.init(rng, *args, **kwargs)["params"]
+    return _param_shapes(lambda: unet.init(rng, *args, **kwargs))
 
 
 @dataclasses.dataclass
@@ -108,31 +140,41 @@ def build_pipeline(
     )
     rng = jax.random.PRNGKey(seed)
     unet = UNetModel(spec.unet_config)
-    unet_params = _init_unet_params(unet, rng)
+    unet_shapes = _unet_shapes(unet, rng)
 
     enc = fvae.Encoder(spec.vae_config)
     dec = fvae.Decoder(spec.vae_config)
     z = spec.vae_config.z_channels
-    enc_params = enc.init(rng, jnp.zeros((1, 64, 64, 3)))["params"]
-    dec_params = dec.init(
-        rng, jnp.zeros((1, 8, 8, z)),
-        **({"timesteps": 1} if spec.vae_config.video_decoder else {}),
-    )["params"]
+    enc_shapes = _param_shapes(lambda: enc.init(rng, jnp.zeros((1, 64, 64, 3))))
+    dec_shapes = _param_shapes(
+        lambda: dec.init(
+            rng, jnp.zeros((1, 8, 8, z)),
+            **({"timesteps": 1} if spec.vae_config.video_decoder else {}),
+        )
+    )
 
     quant = post_quant = None
     clip_apply = None
     conditioner = None
 
+    import os
+
     sd = None
     ckpt = ckpt_path or spec.ckpt_path
+    if ckpt_path is not None and not os.path.exists(ckpt_path):
+        raise FileNotFoundError(ckpt_path)
+    if ckpt and not os.path.exists(ckpt):
+        # YAML default ckpt not present in this environment → smoke mode
+        print(f"WARNING: checkpoint {ckpt!r} not found — random weights")
+        ckpt = None
     if ckpt:
         sd = load_torch_checkpoint(ckpt)
         unet_sd = sub_dict(sd, "model.diffusion_model.")
-        unet_params, unused = convert_state_dict(unet_params, unet_sd, unet_key_fn, dtype=dtype)
+        unet_params, unused = convert_state_dict(unet_shapes, unet_sd, unet_key_fn, dtype=dtype)
         enc_sd = sub_dict(sd, "first_stage_model.encoder.")
         dec_sd = sub_dict(sd, "first_stage_model.decoder.")
-        enc_params, _ = convert_state_dict(enc_params, enc_sd, vae_key_fn, dtype=dtype)
-        dec_params, _ = convert_state_dict(dec_params, dec_sd, vae_key_fn, dtype=dtype)
+        enc_params, _ = convert_state_dict(enc_shapes, enc_sd, vae_key_fn, dtype=dtype)
+        dec_params, _ = convert_state_dict(dec_shapes, dec_sd, vae_key_fn, dtype=dtype)
         if "first_stage_model.quant_conv.weight" in sd:
             quant = (
                 np.asarray(sd["first_stage_model.quant_conv.weight"]).transpose(2, 3, 1, 0),
@@ -142,6 +184,10 @@ def build_pipeline(
                 np.asarray(sd["first_stage_model.post_quant_conv.weight"]).transpose(2, 3, 1, 0),
                 np.asarray(sd["first_stage_model.post_quant_conv.bias"]),
             )
+    else:
+        unet_params = _synthesize_params(unet_shapes, jax.random.fold_in(rng, 1), dtype)
+        enc_params = _synthesize_params(enc_shapes, jax.random.fold_in(rng, 2), dtype)
+        dec_params = _synthesize_params(dec_shapes, jax.random.fold_in(rng, 3), dtype)
 
     first_stage = FirstStage(
         enc, dec, cast(enc_params), cast(dec_params),
@@ -157,16 +203,17 @@ def build_pipeline(
             node = emb_models[targets.index("FrozenOpenCLIPImagePredictionEmbedder")]
             vc = (node.get("params") or {}).get("vision_cfg") or {}
             vision = CLIPVisionTransformer(CLIPVisionConfig(dtype=dtype, **vc))
-            vparams = None
+            img_sz = vc.get("image_size", 224)
+            vshapes = _param_shapes(
+                lambda: vision.init(rng, jnp.zeros((1, img_sz, img_sz, 3)))
+            )
             if sd is not None:
-                vkeys = sub_dict(
-                    sd, "conditioner.embedders.0.open_clip.model."
+                vkeys = split_packed_qkv(
+                    sub_dict(sd, "conditioner.embedders.0.open_clip.model.")
                 )
-                vkeys = split_packed_qkv(vkeys)
-                vinit = vision.init(rng, jnp.zeros((1, 224, 224, 3)))["params"]
-                vparams, _ = convert_state_dict(vinit, vkeys, clip_vision_key_fn, dtype=dtype)
+                vparams, _ = convert_state_dict(vshapes, vkeys, clip_vision_key_fn, dtype=dtype)
             else:
-                vparams = vision.init(rng, jnp.zeros((1, 224, 224, 3)))["params"]
+                vparams = _synthesize_params(vshapes, jax.random.fold_in(rng, 4), dtype)
 
             vparams = cast(vparams)
 
@@ -181,8 +228,7 @@ def build_pipeline(
             if sd is not None:
                 ckeys = sub_dict(sd, "conditioner.embedders.3.encoder.encoder.")
                 if ckeys:
-                    cinit = enc.init(rng, jnp.zeros((1, 64, 64, 3)))["params"]
-                    cenc_params, _ = convert_state_dict(cinit, ckeys, vae_key_fn, dtype=dtype)
+                    cenc_params, _ = convert_state_dict(enc_shapes, ckeys, vae_key_fn, dtype=dtype)
                 qk = "conditioner.embedders.3.encoder.quant_conv.weight"
                 if qk in sd:
                     cquant = (
@@ -207,12 +253,14 @@ def build_pipeline(
             text = CLIPTextTransformer(
                 CLIPTextConfig(dtype=dtype, **tc), penultimate=True
             )
+            tshapes = _param_shapes(
+                lambda: text.init(rng, jnp.zeros((1, 77), jnp.int32))
+            )
             if sd is not None:
                 tkeys = split_packed_qkv(sub_dict(sd, "conditioner.embedders.0.model."))
-                tinit = text.init(rng, jnp.zeros((1, 77), jnp.int32))["params"]
-                tparams, _ = convert_state_dict(tinit, tkeys, clip_text_key_fn, dtype=dtype)
+                tparams, _ = convert_state_dict(tshapes, tkeys, clip_text_key_fn, dtype=dtype)
             else:
-                tparams = text.init(rng, jnp.zeros((1, 77), jnp.int32))["params"]
+                tparams = _synthesize_params(tshapes, jax.random.fold_in(rng, 5), dtype)
 
             tparams = cast(tparams)
 
