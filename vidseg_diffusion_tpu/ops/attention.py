@@ -128,6 +128,20 @@ def flash_attention(
     d_pad = _round_up(d, 128)
     block_q = min(block_q, _round_up(lq, 128))
     block_k = min(block_k, _round_up(lk, 128))
+
+    # Shrink blocks until the working set fits VMEM (q/k/v blocks + logits
+    # + fp32 accumulator, double-buffered). Matters for wide heads — e.g.
+    # the VAE mid-attention runs a single 512-dim head over ~6k tokens.
+    def vmem_bytes(bq, bk):
+        per = bq * d_pad + 2 * bk * d_pad + bq * bk + bq * d_pad + 2 * bq
+        return per * 4 * 2  # fp32, double-buffered
+
+    budget = 12 * 1024 * 1024
+    while vmem_bytes(block_q, block_k) > budget and block_k > 128:
+        block_k = max(128, block_k // 2)
+    while vmem_bytes(block_q, block_k) > budget and block_q > 128:
+        block_q = max(128, block_q // 2)
+
     lq_pad = _round_up(lq, block_q)
     lk_pad = _round_up(lk, block_k)
 
