@@ -121,6 +121,44 @@ class AttnBlock(nn.Module):
         return x + out
 
 
+class VideoAttnBlock(nn.Module):
+    """Spatio-temporal VAE attention for VideoDecoder time_mode='all'
+    (temporal_ae.py VideoBlock :110-177): spatial single-head attention,
+    then a single-head VideoTransformerBlock over frames with a sinusoidal
+    frame-position embedding, α-merged, then proj_out + residual."""
+
+    alpha: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, timesteps: int = 1) -> jax.Array:
+        from vidseg_diffusion_tpu.models.layers import timestep_embedding
+        from vidseg_diffusion_tpu.models.video_layers import VideoTransformerBlock
+
+        bt, h, w, c = x.shape
+        x_in = x
+        hn = _norm("norm")(x)
+        q = nn.Conv(c, (1, 1), dtype=self.dtype, name="q")(hn).reshape(bt, 1, h * w, c)
+        k = nn.Conv(c, (1, 1), dtype=self.dtype, name="k")(hn).reshape(bt, 1, h * w, c)
+        v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(hn).reshape(bt, 1, h * w, c)
+        att = dot_product_attention(q, k, v).reshape(bt, h * w, c)
+
+        frame_ids = jnp.tile(jnp.arange(timesteps), bt // timesteps)
+        t_emb = timestep_embedding(frame_ids, c)
+        emb = nn.Dense(c * 4, dtype=self.dtype, name="video_time_embed_0")(t_emb)
+        emb = nn.Dense(c, dtype=self.dtype, name="video_time_embed_2")(nn.silu(emb))
+        x_mix = att + emb[:, None, :].astype(att.dtype)
+        x_mix = VideoTransformerBlock(
+            heads=1, dim_head=c, ff_in=True, dtype=self.dtype, name="time_mix_block"
+        )(x_mix, context=None, timesteps=timesteps)
+        mix = self.param("mix_factor", lambda _: jnp.full((1,), self.alpha, jnp.float32))
+        a = jax.nn.sigmoid(mix).astype(att.dtype)
+        merged = a * att + (1.0 - a) * x_mix
+        merged = merged.reshape(bt, h, w, c)
+        out = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(merged)
+        return x_in + out
+
+
 class VAEDownsample(nn.Module):
     """Asymmetric-padded stride-2 conv (model.py:74-91)."""
 
@@ -159,6 +197,9 @@ class VAEConfig:
     double_z: bool = True
     video_decoder: bool = False
     video_kernel_size: Tuple[int, ...] = (3, 1, 1)
+    # VideoDecoder time_mode ∈ {conv-only, all, attn-only}
+    # (temporal_ae.py:293-349; SVD ships conv-only)
+    time_mode: str = "conv-only"
     dtype: jnp.dtype = jnp.float32
 
 
@@ -196,7 +237,7 @@ class Decoder(nn.Module):
 
     def _res(self, name, out_channels=None):
         cfg = self.config
-        if cfg.video_decoder:
+        if cfg.video_decoder and cfg.time_mode != "attn-only":
             return VideoVAEResnetBlock(
                 out_channels=out_channels,
                 video_kernel_size=tuple(cfg.video_kernel_size),
@@ -208,11 +249,18 @@ class Decoder(nn.Module):
     def __call__(self, z: jax.Array, timesteps: int = 1) -> jax.Array:
         cfg = self.config
         dt = cfg.dtype
-        kw = dict(timesteps=timesteps) if cfg.video_decoder else {}
+        kw = (
+            dict(timesteps=timesteps)
+            if (cfg.video_decoder and cfg.time_mode != "attn-only")
+            else {}
+        )
         block_in = cfg.ch * cfg.ch_mult[-1]
         h = nn.Conv(block_in, (3, 3), dtype=dt, name="conv_in")(z.astype(dt))
         h = self._res("mid_block_1")(h, **kw)
-        h = AttnBlock(dtype=dt, name="mid_attn_1")(h)
+        if cfg.video_decoder and cfg.time_mode in ("all", "attn-only"):
+            h = VideoAttnBlock(dtype=dt, name="mid_attn_1")(h, timesteps=timesteps)
+        else:
+            h = AttnBlock(dtype=dt, name="mid_attn_1")(h)
         h = self._res("mid_block_2")(h, **kw)
         for i_level in reversed(range(len(cfg.ch_mult))):
             block_out = cfg.ch * cfg.ch_mult[i_level]
@@ -222,7 +270,7 @@ class Decoder(nn.Module):
                 h = VAEUpsample(dtype=dt, name=f"up_{i_level}_upsample")(h)
         h = nn.silu(_norm("norm_out")(h))
         h = nn.Conv(cfg.out_ch, (3, 3), dtype=dt, name="conv_out")(h)
-        if cfg.video_decoder:
+        if cfg.video_decoder and cfg.time_mode != "attn-only":
             # AE3DConv: spatial conv followed by temporal mix conv
             # (temporal_ae.py:86-108)
             bt, hh, ww, c = h.shape
