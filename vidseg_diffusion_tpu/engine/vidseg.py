@@ -386,6 +386,50 @@ class VidSegEngine:
             out = out.reshape((total,) + out.shape[2:])
         return out.reshape((2, m) + out.shape[1:])
 
+    def modulated_runs_host_chunked(
+        self,
+        params,
+        noised: jnp.ndarray,
+        c: Cond,
+        uc: Cond,
+        masks_tokens: jnp.ndarray,  # [M, T, L]
+        masks_latent: jnp.ndarray,  # [M, T, h, w]
+        cache: Dict[str, jnp.ndarray],
+        t_start: int,
+        chunk: int = 1,
+        progress: Optional[Callable[[int, int], None]] = None,
+    ) -> jnp.ndarray:
+        """Same runs grid as modulated_runs_batched, but dispatched one
+        chunk-program at a time from the host: identical compute, much
+        shorter device executions (a single program looping all 2·M runs
+        can exceed worker execution limits), and per-chunk progress. Use
+        the batched/sharded variant for multi-chip meshes."""
+        m = masks_tokens.shape[0]
+        signs = jnp.array([1.0, -1.0], dtype=jnp.float32)
+        run_masks_t = jnp.concatenate([masks_tokens, masks_tokens], 0)
+        run_masks_l = jnp.concatenate([masks_latent, masks_latent], 0)
+        run_signs = jnp.repeat(signs, m)
+        total = 2 * m
+        chunk = min(chunk, total)
+        assert total % chunk == 0, (total, chunk)
+
+        one = jax.jit(
+            jax.vmap(
+                lambda mt, ml, sg: self.modulated_run(
+                    params, noised, c, uc, mt, ml, sg, cache, t_start
+                )
+            )
+        )
+        outs = []
+        n_chunks = total // chunk
+        for i in range(n_chunks):
+            s = slice(i * chunk, (i + 1) * chunk)
+            outs.append(one(run_masks_t[s], run_masks_l[s], run_signs[s]))
+            if progress is not None:
+                progress(i + 1, n_chunks)
+        out = jnp.concatenate(outs, axis=0)
+        return out.reshape((2, m) + out.shape[1:])
+
 
 def _injection_site_for_block(
     block: int,

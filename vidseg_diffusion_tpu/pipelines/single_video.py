@@ -323,19 +323,19 @@ def run_single_video(
         else max(0, min(args.modulate_timestep) - 3)
     )
     noised = engine.sampler.add_noise(r_noise, latent, noise_level=t_start_feat)
-    finals = jax.jit(
-        lambda p, n, mt, ml: engine.modulated_runs_batched(
-            p, n, c, uc, mt, ml, cache, t_start_mod, chunk=min(args.runs_chunk, 2 * k)
-        )
-    )(pipeline.unet_params, noised, masks_block, masks_latent)
+    finals = engine.modulated_runs_host_chunked(
+        pipeline.unet_params, noised, c, uc, masks_block, masks_latent,
+        cache, t_start_mod, chunk=min(args.runs_chunk, 2 * k),
+    )
 
-    # decode ±λ runs (chunked like decoding_t)
-    def decode_all(z):
-        flat = z.reshape((-1,) + z.shape[2:])
-        frames_out = jax.lax.map(lambda zz: fs.decode(zz, chunk=args.decoding_t), flat)
-        return frames_out.reshape(z.shape[:2] + frames_out.shape[1:])
-
-    decoded = decode_all(finals)  # [2, K, T, H, W, 3] in [-1, 1]
+    # decode ±λ runs (chunked like decoding_t). One dispatch per run — a
+    # single program decoding all 2·K·T frames runs minutes on-device and
+    # can exceed worker execution limits; per-run dispatches are the same
+    # total work with negligible dispatch overhead.
+    decode_run = jax.jit(lambda z: fs.decode(z, chunk=args.decoding_t))
+    flat = finals.reshape((-1,) + finals.shape[2:])
+    decoded = jnp.stack([decode_run(flat[i]) for i in range(flat.shape[0])])
+    decoded = decoded.reshape(finals.shape[:2] + decoded.shape[1:])
     decoded = jnp.clip((decoded + 1.0) / 2.0, 0.0, 1.0) * 255.0
 
     # ---- step 5: difference maps + seg --------------------------------------
