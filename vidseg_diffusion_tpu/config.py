@@ -154,7 +154,11 @@ def build_unet_config(node: Dict[str, Any], dtype=jnp.float32) -> UNetConfig:
         attention_resolutions=tuple(p["attention_resolutions"]),
         channel_mult=tuple(p.get("channel_mult", (1, 2, 4, 8))),
         num_head_channels=p.get("num_head_channels", 64),
-        transformer_depth=p.get("transformer_depth", 1),
+        transformer_depth=(
+            tuple(p["transformer_depth"])
+            if isinstance(p.get("transformer_depth"), list)
+            else p.get("transformer_depth", 1)
+        ),
         context_dim=p.get("context_dim", 1024),
         adm_in_channels=p.get("adm_in_channels"),
         video=video,

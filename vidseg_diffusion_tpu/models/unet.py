@@ -22,7 +22,7 @@ video_model.py (VideoUNet :92-566, VideoResBlock :15-89), re-designed:
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import flax.struct
@@ -67,7 +67,9 @@ class UNetConfig:
     attention_resolutions: Tuple[int, ...] = (4, 2, 1)
     channel_mult: Tuple[int, ...] = (1, 2, 4, 4)
     num_head_channels: int = 64
-    transformer_depth: int = 1
+    # int (all levels) or per-level tuple — SDXL uses [1, 2, 10]
+    # (configs/inference/sd_xl_base.yaml:31; openaimodel.py:142-146)
+    transformer_depth: Any = 1
     context_dim: int = 1024
     adm_in_channels: Optional[int] = None  # SVD: 768 ("sequential" class emb)
     video: bool = False
@@ -79,6 +81,12 @@ class UNetConfig:
     @property
     def num_blocks(self) -> int:
         return len(self.channel_mult) * self.num_res_blocks + len(self.channel_mult)
+
+    def depth_for_level(self, level: int) -> int:
+        td = self.transformer_depth
+        if isinstance(td, (tuple, list)):
+            return td[level]
+        return td
 
     def block_layout(self):
         """Reproduce the reference's constructor loops to get, per input and
@@ -92,13 +100,15 @@ class UNetConfig:
             for _ in range(self.num_res_blocks):
                 ch = mult * self.model_channels
                 attn = ds in self.attention_resolutions
-                input_blocks.append(dict(kind="res", ch=ch, ds=ds, attn=attn))
+                input_blocks.append(
+                    dict(kind="res", ch=ch, ds=ds, attn=attn, level=level)
+                )
                 input_chans.append(ch)
             if level != len(self.channel_mult) - 1:
                 ds *= 2
                 input_blocks.append(dict(kind="down", ch=ch, ds=ds))
                 input_chans.append(ch)
-        middle = dict(ch=ch, ds=ds)
+        middle = dict(ch=ch, ds=ds, level=len(self.channel_mult) - 1)
         output_blocks = []
         for level, mult in list(enumerate(self.channel_mult))[::-1]:
             for i in range(self.num_res_blocks + 1):
@@ -109,7 +119,8 @@ class UNetConfig:
                 if up:
                     ds //= 2
                 output_blocks.append(
-                    dict(kind="res", ch=ch, skip_ch=ich, ds=ds * (2 if up else 1), attn=attn, up=up)
+                    dict(kind="res", ch=ch, skip_ch=ich, ds=ds * (2 if up else 1),
+                         attn=attn, up=up, level=level)
                 )
         return input_blocks, middle, output_blocks
 
@@ -319,11 +330,12 @@ class UNetModel(nn.Module):
 
         def attn_block(idx_name, spec, h, mod, inj):
             heads = spec["ch"] // cfg.num_head_channels
+            depth = cfg.depth_for_level(spec.get("level", 0))
             if cfg.video:
                 return SpatialVideoTransformer(
                     heads=heads,
                     dim_head=cfg.num_head_channels,
-                    depth=cfg.transformer_depth,
+                    depth=depth,
                     merge_strategy=cfg.merge_strategy,
                     merge_factor=cfg.merge_factor,
                     dtype=dt,
@@ -334,7 +346,7 @@ class UNetModel(nn.Module):
             return SpatialTransformer(
                 heads=heads,
                 dim_head=cfg.num_head_channels,
-                depth=cfg.transformer_depth,
+                depth=depth,
                 dtype=dt,
                 name=idx_name,
             )(
