@@ -413,21 +413,35 @@ class VidSegEngine:
         chunk = min(chunk, total)
         assert total % chunk == 0, (total, chunk)
 
-        one = jax.jit(
-            jax.vmap(
+        if chunk == 1:
+            # no vmap layer — smaller program, same math
+            one = jax.jit(
                 lambda mt, ml, sg: self.modulated_run(
                     params, noised, c, uc, mt, ml, sg, cache, t_start
                 )
             )
-        )
-        outs = []
-        n_chunks = total // chunk
-        for i in range(n_chunks):
-            s = slice(i * chunk, (i + 1) * chunk)
-            outs.append(one(run_masks_t[s], run_masks_l[s], run_signs[s]))
-            if progress is not None:
-                progress(i + 1, n_chunks)
-        out = jnp.concatenate(outs, axis=0)
+            outs = []
+            for i in range(total):
+                outs.append(one(run_masks_t[i], run_masks_l[i], run_signs[i]))
+                if progress is not None:
+                    progress(i + 1, total)
+            out = jnp.stack(outs)
+        else:
+            one = jax.jit(
+                jax.vmap(
+                    lambda mt, ml, sg: self.modulated_run(
+                        params, noised, c, uc, mt, ml, sg, cache, t_start
+                    )
+                )
+            )
+            outs = []
+            n_chunks = total // chunk
+            for i in range(n_chunks):
+                s = slice(i * chunk, (i + 1) * chunk)
+                outs.append(one(run_masks_t[s], run_masks_l[s], run_signs[s]))
+                if progress is not None:
+                    progress(i + 1, n_chunks)
+            out = jnp.concatenate(outs, axis=0)
         return out.reshape((2, m) + out.shape[1:])
 
 
