@@ -74,3 +74,9 @@ def test_host_chunked_equals_batched():
     np.testing.assert_allclose(
         np.asarray(chunked), np.asarray(batched), atol=1e-5, rtol=1e-5
     )
+    stepped = engine.modulated_runs_host_stepped(
+        params, noised, c, uc, masks_tok, masks_lat, cache, TS
+    )
+    np.testing.assert_allclose(
+        np.asarray(stepped), np.asarray(batched), atol=1e-5, rtol=1e-5
+    )

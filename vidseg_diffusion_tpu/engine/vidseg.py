@@ -386,6 +386,65 @@ class VidSegEngine:
             out = out.reshape((total,) + out.shape[2:])
         return out.reshape((2, m) + out.shape[1:])
 
+    def modulated_runs_host_stepped(
+        self,
+        params,
+        noised: jnp.ndarray,
+        c: Cond,
+        uc: Cond,
+        masks_tokens: jnp.ndarray,  # [M, T, L]
+        masks_latent: jnp.ndarray,  # [M, T, h, w]
+        cache: Dict[str, jnp.ndarray],
+        t_start: int,
+        progress: Optional[Callable[[int, int], None]] = None,
+    ) -> jnp.ndarray:
+        """Runs grid with host-level stepping: ONE jitted program = one
+        Euler step (UNet forward + modulation + blending), reused across all
+        steps and all (mask, ±λ) runs via traced arguments. The smallest
+        possible compile unit — the scan-over-steps variants compile a much
+        larger program (which the constrained local compile helper cannot
+        always finish for the full-size UNet)."""
+        cfg = self.mod_cfg
+        sampler = self.sampler
+        sigmas = sampler.sigmas()
+        b_start, b_end = cfg.blend_window()
+        blend = cfg.is_latent_blending
+        xt_cache = cache.get("xt")
+
+        @jax.jit
+        def step_fn(x, i, sigma, next_sigma, masks_tok, masks_lat, lam):
+            hooks_fn = self._build_hooks_fn(masks_tok, lam, cache)
+            denoise_fn = self._denoise_fn(
+                params, c, uc, cfg.num_frames, hooks_fn=hooks_fn, collect=False
+            )
+            x, _ = sampler.step(denoise_fn, x, sigma, next_sigma, i)
+            if blend and xt_cache is not None:
+                mlat = masks_lat[:, :, :, None]
+                gate = (i >= b_start) & (i <= b_end)
+                blended = x * mlat + xt_cache[i].astype(x.dtype) * (1.0 - mlat)
+                x = jnp.where(gate, blended, x)
+            return x
+
+        m = masks_tokens.shape[0]
+        x0 = sampler.prescale(noised, sigmas)
+        outs = []
+        total = 2 * m
+        done = 0
+        for sign in (1.0, -1.0):
+            for mi in range(m):
+                lam = cfg.lam() * sign
+                x = x0
+                for i in range(t_start, sampler.num_steps):
+                    x = step_fn(
+                        x, jnp.asarray(i), sigmas[i], sigmas[i + 1],
+                        masks_tokens[mi], masks_latent[mi], lam,
+                    )
+                outs.append(x)
+                done += 1
+                if progress is not None:
+                    progress(done, total)
+        return jnp.stack(outs).reshape((2, m) + x0.shape)
+
     def modulated_runs_host_chunked(
         self,
         params,

@@ -323,10 +323,18 @@ def run_single_video(
         else max(0, min(args.modulate_timestep) - 3)
     )
     noised = engine.sampler.add_noise(r_noise, latent, noise_level=t_start_feat)
-    finals = engine.modulated_runs_host_chunked(
-        pipeline.unet_params, noised, c, uc, masks_block, masks_latent,
-        cache, t_start_mod, chunk=min(args.runs_chunk, 2 * k),
-    )
+    if args.runs_chunk <= 1:
+        # smallest compile unit: one jitted Euler step reused across all
+        # steps and runs (see modulated_runs_host_stepped)
+        finals = engine.modulated_runs_host_stepped(
+            pipeline.unet_params, noised, c, uc, masks_block, masks_latent,
+            cache, t_start_mod,
+        )
+    else:
+        finals = engine.modulated_runs_host_chunked(
+            pipeline.unet_params, noised, c, uc, masks_block, masks_latent,
+            cache, t_start_mod, chunk=min(args.runs_chunk, 2 * k),
+        )
 
     # decode ±λ runs (chunked like decoding_t). One dispatch per run — a
     # single program decoding all 2·K·T frames runs minutes on-device and
