@@ -411,8 +411,7 @@ class VidSegEngine:
         blend = cfg.is_latent_blending
         xt_cache = cache.get("xt")
 
-        @jax.jit
-        def step_fn(x, i, sigma, next_sigma, masks_tok, masks_lat, lam):
+        def step_impl(x, i, sigma, next_sigma, masks_tok, masks_lat, lam):
             hooks_fn = self._build_hooks_fn(masks_tok, lam, cache)
             denoise_fn = self._denoise_fn(
                 params, c, uc, cfg.num_frames, hooks_fn=hooks_fn, collect=False
@@ -424,6 +423,21 @@ class VidSegEngine:
                 blended = x * mlat + xt_cache[i].astype(x.dtype) * (1.0 - mlat)
                 x = jnp.where(gate, blended, x)
             return x
+
+        # Dial down XLA's optimization effort: full-effort compiles of the
+        # full-size UNet run ~50 min through the remote compile relay, which
+        # drops long-held connections. A slightly slower step that compiles
+        # is strictly better than one that never does.
+        try:
+            step_fn = jax.jit(
+                step_impl,
+                compiler_options={
+                    "exec_time_optimization_effort": -0.5,
+                    "memory_fitting_effort": 0.0,
+                },
+            )
+        except Exception:
+            step_fn = jax.jit(step_impl)
 
         m = masks_tokens.shape[0]
         x0 = sampler.prescale(noised, sigmas)
