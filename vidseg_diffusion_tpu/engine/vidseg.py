@@ -424,20 +424,7 @@ class VidSegEngine:
                 x = jnp.where(gate, blended, x)
             return x
 
-        # Dial down XLA's optimization effort: full-effort compiles of the
-        # full-size UNet run ~50 min through the remote compile relay, which
-        # drops long-held connections. A slightly slower step that compiles
-        # is strictly better than one that never does.
-        try:
-            step_fn = jax.jit(
-                step_impl,
-                compiler_options={
-                    "exec_time_optimization_effort": -0.5,
-                    "memory_fitting_effort": 0.0,
-                },
-            )
-        except Exception:
-            step_fn = jax.jit(step_impl)
+        step_fn = jax.jit(step_impl)
 
         m = masks_tokens.shape[0]
         x0 = sampler.prescale(noised, sigmas)
