@@ -49,3 +49,14 @@ def test_flash_bf16():
         np.asarray(expected, dtype=np.float32),
         atol=3e-2, rtol=3e-2,
     )
+
+
+def test_flash_wide_head_vmem_autoshrink():
+    """VAE mid-attention shape: single 512-dim head over ~6k tokens — the
+    default blocks exceed VMEM and must auto-shrink (regression for a TPU
+    worker fault during swan-scale decode)."""
+    rng = jax.random.PRNGKey(2)
+    q = jax.random.normal(rng, (1, 1, 5824, 512), dtype=jnp.bfloat16)
+    out = flash_attention(q, q, q)
+    assert out.shape == (1, 1, 5824, 512)
+    assert bool(jnp.all(jnp.isfinite(out)))
