@@ -409,22 +409,31 @@ class VidSegEngine:
         sigmas = sampler.sigmas()
         b_start, b_end = cfg.blend_window()
         blend = cfg.is_latent_blending
-        xt_cache = cache.get("xt")
 
-        def step_impl(x, i, sigma, next_sigma, masks_tok, masks_lat, lam):
-            hooks_fn = self._build_hooks_fn(masks_tok, lam, cache)
+        # params / cache / conds are ARGUMENTS, not closures: closed-over
+        # concrete arrays become giant embedded constants (1.5B params +
+        # the GB-scale feature cache) that multiply compile time ~10×.
+        def step_impl(params_, cache_, c_, uc_, x, i, sigma, next_sigma,
+                      masks_tok, masks_lat, lam):
+            hooks_fn = self._build_hooks_fn(masks_tok, lam, cache_)
             denoise_fn = self._denoise_fn(
-                params, c, uc, cfg.num_frames, hooks_fn=hooks_fn, collect=False
+                params_, c_, uc_, cfg.num_frames, hooks_fn=hooks_fn, collect=False
             )
             x, _ = sampler.step(denoise_fn, x, sigma, next_sigma, i)
-            if blend and xt_cache is not None:
+            if blend and "xt" in cache_:
                 mlat = masks_lat[:, :, :, None]
                 gate = (i >= b_start) & (i <= b_end)
-                blended = x * mlat + xt_cache[i].astype(x.dtype) * (1.0 - mlat)
+                blended = x * mlat + cache_["xt"][i].astype(x.dtype) * (1.0 - mlat)
                 x = jnp.where(gate, blended, x)
             return x
 
-        step_fn = jax.jit(step_impl)
+        jit_step = jax.jit(step_impl)
+
+        def step_fn(x, i, sigma, next_sigma, masks_tok, masks_lat, lam):
+            return jit_step(
+                params, cache, c, uc, x, i, sigma, next_sigma,
+                masks_tok, masks_lat, lam,
+            )
 
         m = masks_tokens.shape[0]
         x0 = sampler.prescale(noised, sigmas)
@@ -473,32 +482,40 @@ class VidSegEngine:
         chunk = min(chunk, total)
         assert total % chunk == 0, (total, chunk)
 
+        # params/noised/conds/cache as jit ARGUMENTS (closed-over arrays
+        # embed as compile-time constants and explode compile time)
         if chunk == 1:
             # no vmap layer — smaller program, same math
             one = jax.jit(
-                lambda mt, ml, sg: self.modulated_run(
-                    params, noised, c, uc, mt, ml, sg, cache, t_start
+                lambda p_, n_, c_, u_, k_, mt, ml, sg: self.modulated_run(
+                    p_, n_, c_, u_, mt, ml, sg, k_, t_start
                 )
             )
             outs = []
             for i in range(total):
-                outs.append(one(run_masks_t[i], run_masks_l[i], run_signs[i]))
+                outs.append(
+                    one(params, noised, c, uc, cache,
+                        run_masks_t[i], run_masks_l[i], run_signs[i])
+                )
                 if progress is not None:
                     progress(i + 1, total)
             out = jnp.stack(outs)
         else:
             one = jax.jit(
-                jax.vmap(
-                    lambda mt, ml, sg: self.modulated_run(
-                        params, noised, c, uc, mt, ml, sg, cache, t_start
+                lambda p_, n_, c_, u_, k_, mt, ml, sg: jax.vmap(
+                    lambda mt_, ml_, sg_: self.modulated_run(
+                        p_, n_, c_, u_, mt_, ml_, sg_, k_, t_start
                     )
-                )
+                )(mt, ml, sg)
             )
             outs = []
             n_chunks = total // chunk
             for i in range(n_chunks):
                 s = slice(i * chunk, (i + 1) * chunk)
-                outs.append(one(run_masks_t[s], run_masks_l[s], run_signs[s]))
+                outs.append(
+                    one(params, noised, c, uc, cache,
+                        run_masks_t[s], run_masks_l[s], run_signs[s])
+                )
                 if progress is not None:
                     progress(i + 1, n_chunks)
             out = jnp.concatenate(outs, axis=0)

@@ -340,9 +340,16 @@ def run_single_video(
     # single program decoding all 2·K·T frames runs minutes on-device and
     # can exceed worker execution limits; per-run dispatches are the same
     # total work with negligible dispatch overhead.
-    decode_run = jax.jit(lambda z: fs.decode(z, chunk=args.decoding_t))
+    # decoder params as arguments (not embedded constants)
+    decode_run = jax.jit(
+        lambda dp, z: dataclasses.replace(fs, params_decoder=dp).decode(
+            z, chunk=args.decoding_t
+        )
+    )
     flat = finals.reshape((-1,) + finals.shape[2:])
-    decoded = jnp.stack([decode_run(flat[i]) for i in range(flat.shape[0])])
+    decoded = jnp.stack(
+        [decode_run(fs.params_decoder, flat[i]) for i in range(flat.shape[0])]
+    )
     decoded = decoded.reshape(finals.shape[:2] + decoded.shape[1:])
     decoded = jnp.clip((decoded + 1.0) / 2.0, 0.0, 1.0) * 255.0
 
