@@ -43,6 +43,8 @@ def parse_args():
     p.add_argument("--num_steps", type=int, default=25)
     p.add_argument("--feature_folder", type=str, default="features_outputs")
     p.add_argument("--runs_chunk", type=int, default=2)
+    p.add_argument("--decoding_t", type=int, default=1,
+                   help="frames decoded per VAE-decoder call (reference default 1; larger values batch the temporal decoder)")
     p.add_argument("--dtype", type=str, default=None, choices=["bfloat16", "float32"],
                    help="compute dtype (default: bfloat16 on TPU — the reference runs fp16 autocast — else float32)")
     return p.parse_args()
@@ -125,6 +127,7 @@ def main():
         is_aggre_attn=args.is_aggre_attn,
         feature_folder=args.feature_folder,
         runs_chunk=args.runs_chunk,
+        decoding_t=args.decoding_t,
     )
     result = run_single_video(
         pipeline, frames, names, vargs, ori_hw=ori_hw, gt_mask=gt_mask

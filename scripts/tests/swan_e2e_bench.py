@@ -27,6 +27,7 @@ def main():
     p.add_argument("--width", type=int, default=832)
     p.add_argument("--runs_chunk", type=int, default=1)
     p.add_argument("--num_steps", type=int, default=25)
+    p.add_argument("--decoding_t", type=int, default=1)
     args = p.parse_args()
 
     os.makedirs(".jax_cache", exist_ok=True)
@@ -64,6 +65,7 @@ def main():
         num_steps=args.num_steps,
         num_masks=args.num_masks,
         runs_chunk=args.runs_chunk,
+        decoding_t=args.decoding_t,
         feature_folder="/tmp/swan_bench_out",
         is_latent_blending=True,
     )
