@@ -29,6 +29,11 @@ def test_single_video_pipeline(tiny_pipeline, tmp_path):
     )
     res = run_single_video(tiny_pipeline, frames, names, args, write_outputs=True)
     assert res.seg_raw.shape[0] == 3
+    # the GT-mask loading resolution helper must agree with the actual
+    # clustering-block token resolution the pipeline produced masks at
+    from vidseg_diffusion_tpu.pipelines.single_video import cluster_feature_hw
+
+    assert cluster_feature_hw(tiny_pipeline, args, 64, 64, 3) == res.masks.shape[2:]
     assert res.seg_filtered.shape == res.seg_raw.shape
     assert sorted(np.unique(res.unique_labels)) == [0, 1]
     assert set(np.unique(res.seg_raw)) <= {0, 1}

@@ -129,6 +129,22 @@ def _resolve_blocks(unet_cfg, blocks: Sequence[int], mod_cfg: ModulationConfig):
     return tuple(resolved), divisors
 
 
+def cluster_feature_hw(
+    pipeline: Pipeline, args: VidSegArgs, hpx: int, wpx: int, num_frames: int
+) -> Tuple[int, int]:
+    """Token resolution (fh, fw) of the clustering block for a given pixel
+    resolution — the resolution GT masks must be loaded at (match_gt_mask,
+    feature_extraction.py:580-584). Uses the same block-resolution map as
+    `run_single_video` step 3 so callers never hardcode the /2 divisor."""
+    video = pipeline.spec.unet_config.video
+    base_cfg = make_mod_config(args, num_frames, video)
+    cluster_blocks, cluster_div = _resolve_blocks(
+        pipeline.spec.unet_config, _cluster_block_names(args, video), base_cfg
+    )
+    div = cluster_div[cluster_blocks[0]]
+    return (hpx // 8) // div, (wpx // 8) // div
+
+
 def make_mod_config(args: VidSegArgs, num_frames: int, video: bool) -> ModulationConfig:
     return ModulationConfig(
         modulate_block_idx=tuple(args.modulate_block_idx),

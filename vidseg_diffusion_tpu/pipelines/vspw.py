@@ -31,6 +31,7 @@ from vidseg_diffusion_tpu.io.video import list_video_frames, load_frames
 from vidseg_diffusion_tpu.pipelines.single_video import (
     VidSegArgs,
     VidSegResult,
+    cluster_feature_hw,
     run_single_video,
 )
 
@@ -88,10 +89,12 @@ def run_vspw_video(
     gt_state = None
     unique_labels = None
 
-    h_lat, w_lat = frames_all.shape[1] // 8, frames_all.shape[2] // 8
-    # feature resolution of the clustering block (ds=2 for SVD block 8,
-    # ds=2 for SD block 7)
-    fh, fw = h_lat // 2, w_lat // 2
+    # GT masks load at the clustering block's token resolution, resolved
+    # through the same block map run_single_video uses (not hardcoded ds=2,
+    # so non-default cluster blocks / reduced topologies stay consistent)
+    fh, fw = cluster_feature_hw(
+        pipeline, args, frames_all.shape[1], frames_all.shape[2], num_frames
+    )
 
     for bi, (s, e) in enumerate(sliding_batches(n, num_frames)):
         frames = frames_all[s:e]
