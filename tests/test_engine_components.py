@@ -73,7 +73,14 @@ class TestDifferenceMaps:
     def test_color_map(self):
         cm = soft_color_map(119)
         assert cm.shape == (119, 3) and cm.dtype == np.uint8
-        assert len(np.unique(cm.view(np.dtype((np.void, 3))))) > 110
+        # first entries are the reference's vendored table
+        # (scripts/util/color_map_soft.txt:1-3)
+        np.testing.assert_array_equal(cm[0], [230, 25, 75])
+        np.testing.assert_array_equal(cm[1], [60, 180, 75])
+        np.testing.assert_array_equal(cm[2], [255, 225, 25])
+        # extension beyond 119 keeps the vendored prefix intact
+        ext = soft_color_map(128)
+        np.testing.assert_array_equal(ext[:119], cm)
 
 
 class TestMaskModes:

@@ -44,6 +44,28 @@ def test_single_video_pipeline(tiny_pipeline, tmp_path):
     assert len(seg) == 1
 
 
+def test_inversion_type_wired(tiny_pipeline, tmp_path):
+    """inversion_type='inversion' routes through engine.invert (reference
+    svd_single_video_inference.py:337-343); unknown types raise instead of
+    silently falling back to add_noise."""
+    rng = np.random.RandomState(0)
+    frames = (rng.rand(3, 64, 64, 3).astype(np.float32) * 2 - 1)
+    names = ["0", "1", "2"]
+    args = VidSegArgs(
+        exp_name="inv", num_steps=6, num_masks=2, modulate_timestep=(3,),
+        feature_timestep=(5,), runs_chunk=4, inversion_type="inversion",
+        feature_folder=str(tmp_path),
+    )
+    res = run_single_video(tiny_pipeline, frames, names, args, write_outputs=False)
+    assert res.seg_raw.shape[0] == 3 and np.isfinite(res.masks).all()
+
+    import pytest as _pytest
+
+    bad = VidSegArgs(exp_name="bad", num_steps=6, inversion_type="nope")
+    with _pytest.raises(ValueError, match="Invalid inversion type"):
+        run_single_video(tiny_pipeline, frames, names, bad, write_outputs=False)
+
+
 def test_orbax_param_roundtrip(tiny_pipeline, tmp_path):
     import jax
 

@@ -186,6 +186,35 @@ class TestLoopParity:
         out, _ = engine.sampler(dn, jnp.asarray(noised), t_start=T_START)
         np.testing.assert_allclose(np.asarray(out), out_ref, atol=5e-3, rtol=5e-3)
 
+    def test_inversion_loop(self, stack):
+        """engine.invert == the reference sampler.inversion
+        (sampling.py:264-296): flipped σ schedule, full num_steps, final
+        ÷√(1+σ_last²)."""
+        ref_unet, ref_denoiser, ref_sampler, unet, cfg, params, cond, uc, noised = stack
+        denoiser, _ = _torch_denoiser(ref_unet, ref_denoiser, cond, uc)
+        x_t = torch.from_numpy(noised).permute(0, 3, 1, 2)
+        with torch.no_grad():
+            out_ref, traj_ref = ref_sampler.inversion(
+                denoiser, x_t.clone(),
+                cond={"crossattn": torch.from_numpy(cond["crossattn"]),
+                      "vector": torch.from_numpy(cond["vector"]),
+                      "concat": torch.from_numpy(cond["concat"]).permute(0, 3, 1, 2)},
+                uc={"crossattn": torch.from_numpy(uc["crossattn"]),
+                    "vector": torch.from_numpy(uc["vector"]),
+                    "concat": torch.from_numpy(uc["concat"]).permute(0, 3, 1, 2)},
+            )
+        out_ref = out_ref.permute(0, 2, 3, 1).numpy()
+        assert len(traj_ref) == NUM_STEPS + 1
+
+        engine = _jax_engine(unet, cfg)
+        c = {k: jnp.asarray(v) for k, v in cond.items()}
+        u = {k: jnp.asarray(v) for k, v in uc.items()}
+        out = engine.invert(params, jnp.asarray(noised), c, u)
+        np.testing.assert_allclose(np.asarray(out), out_ref, atol=5e-3, rtol=5e-3)
+        # sanity: inversion output differs from the add_noise path
+        an = engine.sampler.add_noise(jax.random.PRNGKey(0), jnp.asarray(noised), noise_level=T_START)
+        assert float(jnp.max(jnp.abs(out - an))) > 1e-3
+
     def test_modulated_loop(self, stack):
         ref_unet, ref_denoiser, ref_sampler, unet, cfg, params, cond, uc, noised = stack
         _, _, out_layout = cfg.block_layout()

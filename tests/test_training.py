@@ -33,6 +33,33 @@ class TestLPIPSModules:
         d2 = m.apply(params, x, y)
         assert float(jnp.abs(d2[0])) > 0
 
+    def test_lpips_loss_type(self):
+        # loss_type="lpips" routes through lpips_fn unweighted (reference
+        # loss.py:101-103)
+        m = LPIPS()
+        x = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 3)) * 2 - 1
+        lpips_params = m.init(jax.random.PRNGKey(1), x, x)
+
+        def network_factory_identity(xs, c_noise, cond):
+            return jnp.zeros_like(xs)
+
+        loss_mod = StandardDiffusionLoss(
+            denoiser=Denoiser(scaling=EpsScaling()),
+            sigma_sampler=EDMSigmaSampling(),
+            loss_type="lpips",
+            lpips_fn=lambda a, b: m.apply(lpips_params, a, b),
+        )
+        val = loss_mod(network_factory_identity, jax.random.PRNGKey(2), x, {})
+        assert np.isfinite(float(val))
+        # missing lpips_fn raises
+        bad = StandardDiffusionLoss(
+            denoiser=Denoiser(scaling=EpsScaling()),
+            sigma_sampler=EDMSigmaSampling(),
+            loss_type="lpips",
+        )
+        with pytest.raises(ValueError):
+            bad(network_factory_identity, jax.random.PRNGKey(2), x, {})
+
     def test_discriminator_shape(self):
         d = NLayerDiscriminator(ndf=16, n_layers=2)
         x = jnp.ones((2, 32, 32, 3))

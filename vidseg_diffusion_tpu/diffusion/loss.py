@@ -54,12 +54,18 @@ def unit_weighting(sigma):
 
 @dataclasses.dataclass(frozen=True)
 class StandardDiffusionLoss:
-    """w(σ)·||D(x₀+σε, σ) − x₀||² (loss.py:12-105, l2/l1 types)."""
+    """w(σ)·||D(x₀+σε, σ) − x₀||² (loss.py:12-105, l2/l1/lpips types).
+
+    For loss_type="lpips", pass `lpips_fn(pred, target) -> [B]` — typically
+    `models.lpips.LPIPS` pre-bound with its params (the reference
+    instantiates `LPIPS().eval()` at loss.py:31-32 and applies it without
+    the σ weighting, loss.py:101-103; we preserve both behaviors)."""
 
     denoiser: Denoiser
     sigma_sampler: Callable[[jax.Array, int], jnp.ndarray]
     weighting: Callable = unit_weighting
     loss_type: str = "l2"
+    lpips_fn: Optional[Callable] = None
 
     def __call__(
         self,
@@ -78,6 +84,11 @@ class StandardDiffusionLoss:
             per = jnp.mean((w * (pred - x0) ** 2).reshape(x0.shape[0], -1), axis=1)
         elif self.loss_type == "l1":
             per = jnp.mean((w * jnp.abs(pred - x0)).reshape(x0.shape[0], -1), axis=1)
+        elif self.loss_type == "lpips":
+            if self.lpips_fn is None:
+                raise ValueError("loss_type='lpips' requires lpips_fn")
+            # the reference applies LPIPS unweighted (loss.py:101-103)
+            per = self.lpips_fn(pred, x0).reshape(-1)
         else:
             raise ValueError(self.loss_type)
         return jnp.mean(per)

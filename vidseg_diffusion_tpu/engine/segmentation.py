@@ -19,6 +19,7 @@ as an accuracy-improving option.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -89,19 +90,27 @@ def segmentation_argmax(
 
 
 def soft_color_map(n: int = 128, seed: int = 0) -> np.ndarray:
-    """Deterministic soft color palette for colorized segmentation PNGs.
+    """Color palette for colorized segmentation PNGs.
 
-    The reference ships a 119-entry table (scripts/util/color_map_soft.txt,
-    consumed at process_output.py:105-107); raw-label PNGs — the artifacts
-    external eval reads — are palette-independent, so this palette only
-    needs to be stable and visually distinct, not identical."""
+    The first 119 entries are the reference's table
+    (scripts/util/color_map_soft.txt, consumed at process_output.py:105-107,
+    vendored as package data) so colorized outputs match the reference
+    pixel-wise; labels beyond 119 extend with a deterministic
+    golden-ratio-spaced palette (the reference would IndexError there)."""
+    table_path = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "assets", "color_map_soft.txt"
+    )
+    base = np.loadtxt(table_path, delimiter=",", dtype=np.int64).astype(np.uint8)
+    if n <= base.shape[0]:
+        return base[:n]
+    extra = n - base.shape[0]
     rng = np.random.RandomState(seed)
-    hues = (np.arange(n) * 0.61803398875) % 1.0  # golden-ratio spacing
-    sat = 0.35 + 0.25 * rng.rand(n)
-    val = 0.75 + 0.2 * rng.rand(n)
+    hues = (np.arange(extra) * 0.61803398875) % 1.0  # golden-ratio spacing
+    sat = 0.35 + 0.25 * rng.rand(extra)
+    val = 0.75 + 0.2 * rng.rand(extra)
     import colorsys
 
     rgb = np.array(
         [colorsys.hsv_to_rgb(h, s, v) for h, s, v in zip(hues, sat, val)]
     )
-    return (rgb * 255).astype(np.uint8)
+    return np.concatenate([base, (rgb * 255).astype(np.uint8)], axis=0)

@@ -225,6 +225,18 @@ class VidSegEngine:
             cache[name] = full.at[t_start : t_start + arr.shape[0]].set(arr)
         return x0, cache
 
+    def invert(self, params, latent: jnp.ndarray, c: Cond, uc: Cond) -> jnp.ndarray:
+        """Step-1 DDIM inversion (svd_single_video_inference.py:341-342,
+        sampling.py:264-296): un-modulated CFG denoising over the flipped σ
+        schedule. Returns the noised latent in the same √(1+σ₀²)-normalized
+        frame `add_noise` produces, so it slots into the feature pass and
+        the modulated runs unchanged."""
+        denoise_fn = self._denoise_fn(
+            params, c, uc, self.mod_cfg.num_frames, collect=False
+        )
+        x, _ = self.sampler.inversion(denoise_fn, latent)
+        return x
+
     def xt_cache_pass(
         self,
         params,
@@ -233,15 +245,20 @@ class VidSegEngine:
         uc: Cond,
         rng: jax.Array,
         t_start: int,
+        pre_noised: Optional[jnp.ndarray] = None,
     ):
         """Like feature_pass but additionally records x after every step
         (the reference's xt_time_{i}.pt, svd_single_video_inference.py:130).
 
         Note the reference harvests features from `t_start` of the *feature*
         pass but blends latents cached at the same step indices; one pass
-        produces both here."""
+        produces both here. `pre_noised` (e.g. an inversion output) replaces
+        the internal add_noise when given."""
         cfg = self.mod_cfg
-        noised = self.sampler.add_noise(rng, latent, noise_level=t_start)
+        if pre_noised is not None:
+            noised = pre_noised
+        else:
+            noised = self.sampler.add_noise(rng, latent, noise_level=t_start)
         base_fn = self._denoise_fn(params, c, uc, cfg.num_frames, collect=True)
 
         def denoise_fn(x, sigma, i):

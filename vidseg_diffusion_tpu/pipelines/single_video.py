@@ -260,16 +260,32 @@ def run_single_video(
         c = {"crossattn": jnp.repeat(ctx, t, axis=0)}
         uc = {"crossattn": jnp.repeat(ctx, t, axis=0)}
 
-    # ---- steps 1+2: noise + feature/xt pass --------------------------------
+    # ---- steps 1+2: noise/invert + feature/xt pass --------------------------
+    # t_start: modulate_timestep for add_noise, 0 for inversion
+    # (svd_single_video_inference.py:250-254)
     t_start_feat = (
         min(args.modulate_timestep) if args.inversion_type == "add_noise" else 0
     )
     latent = fs.encode(frames_j, rng=None, chunk=args.decoding_t)
     r_noise = jax.random.fold_in(rng, 2)
+    if args.inversion_type == "add_noise":
+        noised = jax.jit(
+            lambda l, r: engine.sampler.add_noise(r, l, noise_level=t_start_feat)
+        )(latent, r_noise)
+    elif args.inversion_type == "inversion":
+        # full DDIM inversion over the flipped σ schedule
+        # (svd_single_video_inference.py:341-342)
+        noised = jax.jit(lambda p, l: engine.invert(p, l, c, uc))(
+            pipeline.unet_params, latent
+        )
+    else:
+        raise ValueError(f"Invalid inversion type {args.inversion_type}")
     x0, cache = jax.jit(
-        lambda p, l, r: engine.xt_cache_pass(p, l, c, uc, r, t_start_feat),
+        lambda p, l, n, r: engine.xt_cache_pass(
+            p, l, c, uc, r, t_start_feat, pre_noised=n
+        ),
         static_argnames=(),
-    )(pipeline.unet_params, latent, r_noise)
+    )(pipeline.unet_params, latent, noised, r_noise)
 
     # ---- step 3: masks ------------------------------------------------------
     feat_t = args.feature_timestep[0]
@@ -338,7 +354,9 @@ def run_single_video(
         if args.modulate_t_start is not None
         else max(0, min(args.modulate_timestep) - 3)
     )
-    noised = engine.sampler.add_noise(r_noise, latent, noise_level=t_start_feat)
+    # step 4 reuses the step-1 latent (add_noise output or inversion output;
+    # the reference passes the same `latent` to every sample_video call,
+    # svd_single_video_inference.py:497)
     if args.runs_chunk <= 1:
         # smallest compile unit: one jitted Euler step reused across all
         # steps and runs (see modulated_runs_host_stepped)
