@@ -11,6 +11,8 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+pytestmark = pytest.mark.slow  # synthetic full-layout checkpoint roundtrip
+
 from reference_compat import import_reference_unet, import_reference_vae  # noqa: E402
 from vidseg_diffusion_tpu.engine.build import build_pipeline  # noqa: E402
 

@@ -87,6 +87,7 @@ class TestImageUNetParity:
 
 
 class TestVideoUNetParity:
+    @pytest.mark.slow
     def test_tiny_video_unet_matches_reference(self):
         RefVideoUNet = import_reference_video_unet()
         torch.manual_seed(0)
@@ -192,6 +193,7 @@ class TestVAEParity:
         out = np.asarray(dec.apply({"params": params}, zj)).transpose(0, 3, 1, 2)
         np.testing.assert_allclose(out, out_ref, atol=ATOL, rtol=1e-3)
 
+    @pytest.mark.slow
     def test_video_decoder_parity(self):
         RefVideoDecoder = import_reference_video_decoder()
         torch.manual_seed(0)

@@ -89,9 +89,89 @@ class TestTokenizer:
         t = tokenize([""])
         assert t.shape == (1, 77)
 
-    def test_nonempty_raises(self):
+    def test_nonempty_without_vocab_raises(self, monkeypatch):
+        monkeypatch.delenv("VIDSEG_BPE_PATH", raising=False)
+        import vidseg_diffusion_tpu.io.tokenizer as tok
+
+        monkeypatch.setattr(tok, "default_bpe_path", lambda: None)
         with pytest.raises(ValueError):
-            tokenize(["a photo of a dog"])
+            tok.tokenize(["a photo of a dog"])
+
+
+class TestBPE:
+    """BPE mechanics on the vendored tiny merges table. Expected ids are
+    hand-derived from the CLIP vocab layout: 512 byte(-</w>) symbols, then
+    merges in file order, then SOT/EOT."""
+
+    TINY = "vidseg_diffusion_tpu/assets/bpe_tiny_test_vocab.txt.gz"
+
+    def _tok(self):
+        from vidseg_diffusion_tpu.io.tokenizer import ClipBPETokenizer
+
+        return ClipBPETokenizer(self.TINY)
+
+    def test_single_letter_word_is_base_symbol(self):
+        # "a</w>" = 256 + (ord('a') - ord('!')) = 320 — the same layout that
+        # makes "a" id 320 in the production vocab
+        t = self._tok()
+        assert t.encode("a") == [320]
+
+    def test_merge_chain(self):
+        # "cat" → c+a (rank 0) → ca+t</w> (rank 1) → single token id 513
+        t = self._tok()
+        assert t.encode("cat") == [513]
+        # "photo" → ph → pho → to</w> → photo</w> (rank order 4,5,7,8)
+        assert t.encode("photo") == [520]
+
+    def test_framing_and_padding(self):
+        t = self._tok()
+        out = t(["a cat"])
+        assert out.shape == (1, 77)
+        assert list(out[0, :4]) == [t.sot, 320, 513, t.eot]
+        assert out[0, 4:].sum() == 0
+
+    def test_unmergeable_word_splits_to_chars(self):
+        t = self._tok()
+        ids = t.encode("dg")  # no 'd g' merge: d + g</w>
+        assert len(ids) == 2
+
+    def test_cleanup_lowercase_whitespace(self):
+        t = self._tok()
+        assert t.encode("  A \n CAT ") == t.encode("a cat")
+
+    def test_punctuation_splits(self):
+        t = self._tok()
+        # regex pre-tokenizer separates "cat" and "!"
+        assert t.encode("cat!") == [513, t.encoder["!</w>"]]
+
+    def test_truncation_forces_eot(self):
+        t = self._tok()
+        out = t(["cat " * 100])
+        assert out.shape == (1, 77)
+        assert out[0, -1] == t.eot and (out[0] != 0).all()
+
+    def test_decode_roundtrip(self):
+        t = self._tok()
+        assert t.decode(t.encode("a cat dog")).strip() == "a cat dog"
+
+    def test_tokenize_entry_point_with_bpe_path(self):
+        out = tokenize(["a cat"], bpe_path=self.TINY)
+        assert out.shape == (1, 77) and out[0, 1] == 320
+
+
+class TestProductionVocabGoldens:
+    """Run only when the real open_clip vocab is present (deployment
+    machines); golden ids are open_clip's published tokenization."""
+
+    def test_known_prompts(self):
+        from vidseg_diffusion_tpu.io.tokenizer import default_bpe_path
+
+        path = default_bpe_path()
+        if path is None:
+            pytest.skip("production BPE vocab not in container")
+        out = tokenize(["a photo of a cat", "a photo of a dog"], bpe_path=path)
+        assert list(out[0, :7]) == [49406, 320, 1125, 539, 320, 2368, 49407]
+        assert list(out[1, :7]) == [49406, 320, 1125, 539, 320, 1929, 49407]
 
 
 class TestConfigLoader:

@@ -10,6 +10,9 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from __graft_entry__ import dryrun_multichip, entry  # noqa: E402
+import pytest  # noqa: E402
+
+pytestmark = pytest.mark.slow  # the driver exercises these separately every round
 
 
 def test_entry_compiles_and_runs():

@@ -4,6 +4,8 @@ import numpy as np
 import jax
 import pytest
 
+pytestmark = pytest.mark.slow  # end-to-end txt2img/img2img compiles
+
 from vidseg_diffusion_tpu.engine.build import build_pipeline
 from vidseg_diffusion_tpu.inference.api import (
     Sampler,
@@ -40,3 +42,42 @@ def test_txt2img_dpmpp(api):
     params = SamplingParams(width=64, height=64, steps=6, sampler=Sampler.DPMPP2M)
     out = api.text_to_image(params, tokenize_empty(1), rng=jax.random.PRNGKey(2))
     assert out.shape == (1, 64, 64, 3)
+
+
+@pytest.fixture(scope="module")
+def sdxl_api():
+    return SamplingPipeline(build_pipeline("configs/inference/sd_xl_tiny.yaml"))
+
+
+TINY_BPE = "vidseg_diffusion_tpu/assets/bpe_tiny_test_vocab.txt.gz"
+
+
+def test_sdxl_txt2img_nonempty_prompt(sdxl_api):
+    """SDXL dual-text conditioner end-to-end with a BPE-tokenized non-empty
+    prompt (reference api.py:180-210 + sd_xl_base.yaml conditioner)."""
+    from vidseg_diffusion_tpu.io.tokenizer import tokenize
+
+    tokens = tokenize(["a photo of a cat"], bpe_path=TINY_BPE)
+    params = SamplingParams(
+        width=64, height=64, steps=4, orig_width=64, orig_height=64
+    )
+    out = sdxl_api.text_to_image(params, tokens, rng=jax.random.PRNGKey(0))
+    assert out.shape == (1, 64, 64, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sdxl_cond_layout(sdxl_api):
+    """crossattn = [CLIP-L | bigG] widths; vector = [pooled | 3 size embs];
+    uc text zeroed (force_uc_zero_embeddings=['txt']) but sizes kept."""
+    from vidseg_diffusion_tpu.io.tokenizer import tokenize
+
+    tokens = tokenize(["cat"], bpe_path=TINY_BPE)
+    params = SamplingParams(width=64, height=64)
+    c, uc = sdxl_api._make_cond(params, tokens, None, 2)
+    assert c["crossattn"].shape == (2, 77, 32 + 48)
+    assert c["vector"].shape == (2, 48 + 3 * 2 * 16)
+    assert float(np.abs(np.asarray(uc["crossattn"])).max()) == 0.0
+    assert float(np.abs(np.asarray(uc["vector"])).max()) > 0.0
+    # prompt actually reaches the conditioning
+    c2, _ = sdxl_api._make_cond(params, tokenize_empty(1), None, 2)
+    assert float(np.abs(np.asarray(c["crossattn"] - c2["crossattn"])).max()) > 1e-6

@@ -4,6 +4,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # tiny-pipeline e2e: minutes of CPU compile
+
 from vidseg_diffusion_tpu.engine.build import build_pipeline
 from vidseg_diffusion_tpu.pipelines.single_video import VidSegArgs, run_single_video
 from vidseg_diffusion_tpu.io.checkpoint import load_params, save_params

@@ -1,6 +1,10 @@
 """modulated_runs_host_chunked ≡ modulated_runs_batched (same runs grid,
 different dispatch granularity)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import jax
 import jax.numpy as jnp

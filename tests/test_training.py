@@ -100,6 +100,7 @@ class TestTrainSteps:
         assert losses[-1] < losses[0]
         assert state.ema is not None and int(state.step) == 30
 
+    @pytest.mark.slow
     def test_autoencoder_gan_step_runs(self):
         from vidseg_diffusion_tpu.models import vae as fvae
 

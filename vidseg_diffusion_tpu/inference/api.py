@@ -84,6 +84,11 @@ class SamplingParams:
     s_tmin: float = 0.0
     s_tmax: float = 999.0
     s_noise: float = 1.0
+    # SDXL size/crop conditioning (reference api.py:62-66)
+    orig_width: int = 1024
+    orig_height: int = 1024
+    crop_coords_top: int = 0
+    crop_coords_left: int = 0
 
 
 class SamplingPipeline:
@@ -139,6 +144,43 @@ class SamplingPipeline:
 
         return denoise_fn
 
+    def _make_cond(self, params: SamplingParams, prompt_tokens,
+                   negative_prompt_tokens, batch_size: int):
+        """c/uc for the CFG pair. SD 2.1: single text crossattn. SDXL:
+        the dual-text conditioner with size/crop vector embeddings and
+        force-zeroed uc text (reference api.py:188-241,
+        force_uc_zero_embeddings=['txt'] for non-legacy specs)."""
+        p = self.pipeline
+        cond = p.conditioner
+        if cond is not None and getattr(cond, "kind", "") == "sdxl":
+            def pair(a, b):
+                return jnp.array([[float(a), float(b)]])
+
+            batch_c = {
+                "txt_tokens": jnp.asarray(prompt_tokens),
+                "original_size_as_tuple": pair(params.orig_height, params.orig_width),
+                "crop_coords_top_left": pair(params.crop_coords_top, params.crop_coords_left),
+                "target_size_as_tuple": pair(params.height, params.width),
+            }
+            batch_uc = dict(batch_c)
+            if negative_prompt_tokens is not None:
+                batch_uc["txt_tokens"] = jnp.asarray(negative_prompt_tokens)
+            c, uc = cond.get_unconditional_conditioning(
+                batch_c, batch_uc, force_uc_zero_embeddings=["txt_tokens"]
+            )
+            rep = lambda d: {k: jnp.repeat(v, batch_size, 0) for k, v in d.items()}
+            return rep(c), rep(uc)
+        ctx = p.clip_apply(jnp.asarray(prompt_tokens))
+        neg = (
+            p.clip_apply(jnp.asarray(negative_prompt_tokens))
+            if negative_prompt_tokens is not None
+            else jnp.zeros_like(ctx)
+        )
+        return (
+            {"crossattn": jnp.repeat(ctx, batch_size, 0)},
+            {"crossattn": jnp.repeat(neg, batch_size, 0)},
+        )
+
     def text_to_image(
         self,
         params: SamplingParams,
@@ -149,14 +191,7 @@ class SamplingPipeline:
     ):
         p = self.pipeline
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        ctx = p.clip_apply(jnp.asarray(prompt_tokens))
-        neg = (
-            p.clip_apply(jnp.asarray(negative_prompt_tokens))
-            if negative_prompt_tokens is not None
-            else jnp.zeros_like(ctx)
-        )
-        c = {"crossattn": jnp.repeat(ctx, samples, 0)}
-        uc = {"crossattn": jnp.repeat(neg, samples, 0)}
+        c, uc = self._make_cond(params, prompt_tokens, negative_prompt_tokens, samples)
         z_shape = (samples, params.height // 8, params.width // 8, 4)
         r_init, r_loop = jax.random.split(rng)
         x = jax.random.normal(r_init, z_shape)
@@ -180,15 +215,8 @@ class SamplingPipeline:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         sampler = self._make_sampler(params)
         guider = self._guider(params)
-        ctx = p.clip_apply(jnp.asarray(prompt_tokens))
-        neg = (
-            p.clip_apply(jnp.asarray(negative_prompt_tokens))
-            if negative_prompt_tokens is not None
-            else jnp.zeros_like(ctx)
-        )
         b = image.shape[0]
-        c = {"crossattn": jnp.repeat(ctx, b, 0)}
-        uc = {"crossattn": jnp.repeat(neg, b, 0)}
+        c, uc = self._make_cond(params, prompt_tokens, negative_prompt_tokens, b)
         z = p.first_stage.encode(jnp.asarray(image))
         t_start = int(params.steps * (1.0 - params.img2img_strength))
         r_noise, r_loop = jax.random.split(rng)

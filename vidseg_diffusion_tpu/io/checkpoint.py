@@ -29,8 +29,9 @@ def _adapt(w: np.ndarray, target_shape: Tuple[int, ...], leaf: str) -> np.ndarra
     """Adapt a torch tensor layout to the flax leaf's expected shape."""
     if leaf in ("scale", "bias", "mix_factor", "embedding",
                 "token_embedding", "positional_embedding",
-                "class_embedding", "proj"):
-        if leaf in ("embedding", "token_embedding", "positional_embedding", "proj"):
+                "class_embedding", "proj", "text_projection"):
+        if leaf in ("embedding", "token_embedding", "positional_embedding",
+                    "proj", "text_projection"):
             return w  # layout identical in torch and flax
         return w.reshape(target_shape)
     if leaf == "kernel":

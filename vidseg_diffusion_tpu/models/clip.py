@@ -23,6 +23,7 @@ from vidseg_diffusion_tpu.ops.attention import dot_product_attention
 class ResidualAttentionBlock(nn.Module):
     heads: int
     dtype: jnp.dtype = jnp.float32
+    act: str = "gelu"  # "gelu" (open_clip ViT-H/bigG) | "quick_gelu" (OpenAI CLIP-L)
 
     @nn.compact
     def __call__(self, x: jax.Array, causal: bool = False) -> jax.Array:
@@ -55,7 +56,10 @@ class ResidualAttentionBlock(nn.Module):
 
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x)
         h = nn.Dense(width * 4, dtype=self.dtype, name="mlp_c_fc")(h)
-        h = nn.gelu(h, approximate=False)
+        if self.act == "quick_gelu":
+            h = h * jax.nn.sigmoid(1.702 * h)
+        else:
+            h = nn.gelu(h, approximate=False)
         h = nn.Dense(width, dtype=self.dtype, name="mlp_c_proj")(h)
         return x + h
 
@@ -67,19 +71,33 @@ class CLIPTextConfig:
     heads: int = 16
     layers: int = 24
     context_length: int = 77
+    act: str = "gelu"  # "quick_gelu" for the OpenAI CLIP-L tower
     dtype: jnp.dtype = jnp.float32
 
 
 class CLIPTextTransformer(nn.Module):
-    """Text tower; `penultimate=True` skips the last block and applies
-    ln_final (FrozenOpenCLIPEmbedder layer='penultimate' semantics,
-    modules.py:552-563)."""
+    """Text tower covering the three reference text-embedder variants:
+
+    - SD 2.1 FrozenOpenCLIPEmbedder layer='penultimate'
+      (modules.py:552-563): penultimate=True, final_ln=True — skip the last
+      block, apply ln_final.
+    - SDXL FrozenOpenCLIPEmbedder2 (ViT-bigG, legacy=False,
+      always_return_pooled, modules.py:395-496): penultimate=True,
+      final_ln=False, return_pooled=True — returns (penultimate hidden WITHOUT
+      ln_final, pooled = ln_final(last)[eot-argmax] @ text_projection).
+    - SDXL FrozenCLIPEmbedder (HF CLIP-L, layer='hidden', layer_idx=11,
+      modules.py:330-393): penultimate=True, final_ln=False,
+      config.act='quick_gelu' — HF hidden_states[11] is the raw penultimate
+      block output, no final LayerNorm.
+    """
 
     config: CLIPTextConfig
     penultimate: bool = True
+    final_ln: bool = True
+    return_pooled: bool = False
 
     @nn.compact
-    def __call__(self, tokens: jax.Array) -> jax.Array:
+    def __call__(self, tokens: jax.Array):
         cfg = self.config
         emb = self.param(
             "token_embedding",
@@ -92,12 +110,31 @@ class CLIPTextTransformer(nn.Module):
             (cfg.context_length, cfg.width),
         )
         x = emb[tokens].astype(cfg.dtype) + pos[None].astype(cfg.dtype)
-        n = cfg.layers - (1 if self.penultimate else 0)
+        # without pooling, a skipped last block need not exist in the tree
+        n = cfg.layers - (1 if (self.penultimate and not self.return_pooled) else 0)
+        x_pen = x
         for i in range(n):
+            if self.return_pooled and i == cfg.layers - 1:
+                x_pen = x
             x = ResidualAttentionBlock(
-                heads=cfg.heads, dtype=cfg.dtype, name=f"resblocks_{i}"
+                heads=cfg.heads, dtype=cfg.dtype, act=cfg.act,
+                name=f"resblocks_{i}",
             )(x, causal=True)
-        return nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="ln_final")(x)
+        if not self.return_pooled:
+            if self.final_ln:
+                return nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="ln_final")(x)
+            return x
+        # return_pooled implies legacy=False: hidden stays un-normalized
+        # (modules.py:456-468 applies ln_final only to the pooled path)
+        hidden = x_pen if self.penultimate else x
+        o = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="ln_final")(x)
+        proj = self.param(
+            "text_projection", nn.initializers.normal(0.02), (cfg.width, cfg.width)
+        )
+        # eot pooling: token ids peak at EOT (modules.py:468-474)
+        eot = jnp.argmax(tokens, axis=-1)
+        pooled = o[jnp.arange(o.shape[0]), eot] @ proj.astype(cfg.dtype)
+        return hidden, pooled
 
 
 @dataclasses.dataclass(frozen=True)
@@ -191,8 +228,45 @@ def _clip_key(path: Tuple[str, ...]) -> str:
     leaf_map = {"kernel": "weight", "scale": "weight", "bias": "bias"}
     if leaf == "token_embedding":
         return ".".join(segs + ["token_embedding", "weight"])
-    if leaf in ("positional_embedding", "class_embedding", "proj"):
+    if leaf in ("positional_embedding", "class_embedding", "proj", "text_projection"):
         return ".".join(segs + [leaf])
+    return ".".join(segs + [leaf_map[leaf]])
+
+
+def hf_clip_text_key_fn(path: Tuple[str, ...]) -> str:
+    """flax path → HuggingFace CLIPTextModel checkpoint key (the SDXL
+    checkpoint stores its CLIP-L tower in HF layout under
+    conditioner.embedders.0.transformer.text_model.*)."""
+    parts = list(path)
+    leaf = parts.pop()
+    leaf_map = {"kernel": "weight", "scale": "weight", "bias": "bias"}
+    if leaf == "token_embedding":
+        return "text_model.embeddings.token_embedding.weight"
+    if leaf == "positional_embedding":
+        return "text_model.embeddings.position_embedding.weight"
+    if leaf == "text_projection":
+        return "text_projection.weight"
+    segs = []
+    for p in parts:
+        if p.startswith("resblocks_"):
+            segs.append(
+                "text_model.encoder.layers." + p.removeprefix("resblocks_")
+            )
+        elif p == "ln_1":
+            segs.append("layer_norm1")
+        elif p == "ln_2":
+            segs.append("layer_norm2")
+        elif p.startswith("attn_"):
+            name = p.split("_", 1)[1]
+            segs.append(f"self_attn.{'out_proj' if name == 'out' else name + '_proj'}")
+        elif p == "mlp_c_fc":
+            segs.append("mlp.fc1")
+        elif p == "mlp_c_proj":
+            segs.append("mlp.fc2")
+        elif p == "ln_final":
+            segs.append("text_model.final_layer_norm")
+        else:
+            segs.append(p)
     return ".".join(segs + [leaf_map[leaf]])
 
 

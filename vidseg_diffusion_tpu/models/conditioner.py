@@ -61,21 +61,28 @@ _KEY2AXIS_NHWC = {"vector": 1, "crossattn": 2, "concat": 3}
 @dataclasses.dataclass(frozen=True)
 class Conditioner:
     embedders: Tuple[EmbedderSpec, ...]
+    kind: str = ""  # "svd" | "sd_text" | "sdxl" — CLI/API routing hint
 
     def __call__(
         self, batch: Batch, force_zero_embeddings: Sequence[str] = ()
     ) -> Dict[str, jnp.ndarray]:
         output: Dict[str, jnp.ndarray] = {}
         for spec in self.embedders:
-            emb = spec.fn(batch[spec.input_key])
-            key = _DIM2KEY[emb.ndim]
-            if spec.input_key in force_zero_embeddings:
-                emb = jnp.zeros_like(emb)
-            axis = _KEY2AXIS_NHWC.get(key, 1) if emb.ndim >= 4 else _KEY2AXIS[key]
-            if key in output:
-                output[key] = jnp.concatenate([output[key], emb], axis=axis)
-            else:
-                output[key] = emb
+            emb_out = spec.fn(batch[spec.input_key])
+            # an embedder may emit several routed outputs (SDXL bigG text
+            # tower → crossattn hidden + vector pooled; modules.py:142-152
+            # iterates emb_out as a tuple)
+            if not isinstance(emb_out, (list, tuple)):
+                emb_out = (emb_out,)
+            for emb in emb_out:
+                key = _DIM2KEY[emb.ndim]
+                if spec.input_key in force_zero_embeddings:
+                    emb = jnp.zeros_like(emb)
+                axis = _KEY2AXIS_NHWC.get(key, 1) if emb.ndim >= 4 else _KEY2AXIS[key]
+                if key in output:
+                    output[key] = jnp.concatenate([output[key], emb], axis=axis)
+                else:
+                    output[key] = emb
         return output
 
     def get_unconditional_conditioning(
@@ -121,7 +128,8 @@ def build_svd_conditioner(
             EmbedderSpec(
                 "cond_aug", lambda v: concat_timestep_embedder(v, 256), name="aug"
             ),
-        )
+        ),
+        kind="svd",
     )
 
 
@@ -131,5 +139,50 @@ def build_sd_text_conditioner(
     """SD 2.1 conditioner: one frozen OpenCLIP text embedder
     (configs/inference/sd_2_1.yaml:33-40)."""
     return Conditioner(
-        embedders=(EmbedderSpec("txt_tokens", clip_text_fn, name="clip_text"),)
+        embedders=(EmbedderSpec("txt_tokens", clip_text_fn, name="clip_text"),),
+        kind="sd_text",
+    )
+
+
+def build_sdxl_conditioner(
+    clip_l_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    clip_g_fn: Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]],
+    size_outdim: int = 256,
+) -> Conditioner:
+    """SDXL dual-text conditioner (configs/inference/sd_xl_base.yaml:35-73 +
+    modules.py:330-496).
+
+    clip_l_fn: tokens [b, 77] → hidden [b, 77, 768]
+               (FrozenCLIPEmbedder, layer='hidden', layer_idx=11)
+    clip_g_fn: tokens [b, 77] → (hidden [b, 77, 1280], pooled [b, 1280])
+               (FrozenOpenCLIPEmbedder2 ViT-bigG, penultimate + pooled)
+
+    Routing by rank reproduces the reference concatenation: crossattn =
+    [CLIP-L 768 | bigG 1280] = 2048 = context_dim; vector = [bigG pooled 1280
+    | orig 512 | crop 512 | target 512] = 2816 = adm_in_channels.
+
+    Both text towers read the same token batch — in the reference both
+    embedders share input_key 'txt'; token ids are identical because the two
+    vocabs share the CLIP BPE."""
+    return Conditioner(
+        embedders=(
+            EmbedderSpec("txt_tokens", clip_l_fn, name="clip_l"),
+            EmbedderSpec("txt_tokens", clip_g_fn, name="clip_g"),
+            EmbedderSpec(
+                "original_size_as_tuple",
+                lambda v: concat_timestep_embedder(v, size_outdim),
+                name="orig_size",
+            ),
+            EmbedderSpec(
+                "crop_coords_top_left",
+                lambda v: concat_timestep_embedder(v, size_outdim),
+                name="crop_coords",
+            ),
+            EmbedderSpec(
+                "target_size_as_tuple",
+                lambda v: concat_timestep_embedder(v, size_outdim),
+                name="target_size",
+            ),
+        ),
+        kind="sdxl",
     )
