@@ -403,6 +403,73 @@ class VidSegEngine:
             out = out.reshape((total,) + out.shape[2:])
         return out.reshape((2, m) + out.shape[1:])
 
+    def modulated_runs_sharded(
+        self,
+        params,
+        noised: jnp.ndarray,
+        c: Cond,
+        uc: Cond,
+        masks_tokens: jnp.ndarray,  # [M, T, L]
+        masks_latent: jnp.ndarray,  # [M, T, h, w]
+        cache: Dict[str, jnp.ndarray],
+        t_start: int,
+        mesh,
+    ) -> jnp.ndarray:
+        """The runs grid sharded over the mesh's 'runs' axis: one jitted
+        program computes all 2·M (mask, ±λ) runs with each device executing
+        its own run-column (params / latents / feature cache replicated, no
+        collectives on the hot path). This is the multi-chip form of the
+        reference's serial `for pn: for mask_id:` loop
+        (svd_single_video_inference.py:438-500).
+
+        Runs are padded to a multiple of the runs-axis size and processed
+        one-per-device per lax.map step (same per-device footprint as the
+        host-chunked path)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        nd = mesh.shape["runs"]
+        repl = NamedSharding(mesh, P())
+        rsh = NamedSharding(mesh, P(None, "runs"))
+
+        m = masks_tokens.shape[0]
+        total = 2 * m
+        run_mt = jnp.concatenate([masks_tokens, masks_tokens], 0)
+        run_ml = jnp.concatenate([masks_latent, masks_latent], 0)
+        run_sg = jnp.repeat(jnp.array([1.0, -1.0], jnp.float32), m)
+        g = -(-total // nd)  # ceil: pad with wrapped duplicates, drop later
+        idx = jnp.arange(g * nd) % total
+        rm_t = run_mt[idx].reshape((g, nd) + run_mt.shape[1:])
+        rm_l = run_ml[idx].reshape((g, nd) + run_ml.shape[1:])
+        rs = run_sg[idx].reshape(g, nd)
+
+        def runs_fn(p, n_, c_, u_, k_, mt, ml, sg):
+            def body(grp):
+                mt_, ml_, sg_ = grp
+                return jax.vmap(
+                    lambda a, b, s: self.modulated_run(
+                        p, n_, c_, u_, a, b, s, k_, t_start
+                    )
+                )(mt_, ml_, sg_)
+
+            return jax.lax.map(body, (mt, ml, sg))
+
+        out = jax.jit(
+            runs_fn,
+            in_shardings=(repl, repl, repl, repl, repl, rsh, rsh, rsh),
+            out_shardings=rsh,
+        )(
+            jax.device_put(params, repl),
+            jax.device_put(noised, repl),
+            jax.device_put(c, repl),
+            jax.device_put(uc, repl),
+            jax.device_put(cache, repl),
+            jax.device_put(rm_t, rsh),
+            jax.device_put(rm_l, rsh),
+            jax.device_put(rs, rsh),
+        )
+        out = out.reshape((g * nd,) + out.shape[2:])[:total]
+        return out.reshape((2, m) + out.shape[1:])
+
     def modulated_runs_host_stepped(
         self,
         params,

@@ -52,3 +52,37 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding for arrays with a leading video/batch axis."""
     return NamedSharding(mesh, P("data"))
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bring-up: `jax.distributed.initialize` with the standard
+    TPU-pod auto-discovery (all args None on Cloud TPU). Safe to call twice.
+
+    After this, `jax.devices()` spans the pod slice; the VidSeg sweep shards
+    videos per process (`process_shard`, pipelines/vspw.py) over DCN and the
+    runs mesh rides ICI within each host's chips."""
+    import jax.distributed
+
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:  # already initialized
+        if "already" not in str(e).lower():
+            raise
+
+
+def process_slice(n_items: int) -> slice:
+    """This process's contiguous shard of a length-n work list (balanced
+    round-down split; the TPU-native replacement for the reference's manual
+    --exp_start_idx/--num_exp bookkeeping, sd_pipeline_vspw.py:651-652)."""
+    pc, pi = jax.process_count(), jax.process_index()
+    base, rem = divmod(n_items, pc)
+    start = pi * base + min(pi, rem)
+    return slice(start, start + base + (1 if pi < rem else 0))

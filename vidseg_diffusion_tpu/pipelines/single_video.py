@@ -71,6 +71,10 @@ class VidSegArgs:
     feature_folder: str = "features_outputs"
     inversion_type: str = "add_noise"
     runs_chunk: int = 2
+    # multi-chip dispatch: "auto" shards the (mask, ±λ) runs grid + decode
+    # over a 'runs' device mesh whenever >1 device is visible; "off" forces
+    # the single-chip host-dispatch paths; "runs" forces the mesh
+    mesh: str = "auto"
     # SVD modulation t_start for the modulated runs. The reference hardcodes
     # 14 when an input video is given (svd_single_video_inference.py:425-428),
     # 3 steps before the default modulate_timestep 17; None generalizes to
@@ -190,6 +194,33 @@ def make_harvest(
         injection=args.is_injected_features,
         injection_blocks=tuple(injection_blocks),
     )
+
+
+def _decode_runs_sharded(fs, flat: jnp.ndarray, decoding_t: int, mesh) -> jnp.ndarray:
+    """Decode the [2·K, T, h, w, z] run latents with the run axis sharded
+    over the mesh's 'runs' axis (one run per device per lax.map step —
+    matching the modulated-runs layout, so latents stay on their device)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    nd = mesh.shape["runs"]
+    total = flat.shape[0]
+    g = -(-total // nd)
+    idx = jnp.arange(g * nd) % total
+    padded = flat[idx].reshape((g, nd) + flat.shape[1:])
+    repl = NamedSharding(mesh, P())
+    rsh = NamedSharding(mesh, P(None, "runs"))
+
+    def decode_fn(dp, z):
+        fs_d = dataclasses.replace(fs, params_decoder=dp)
+        return jax.lax.map(
+            lambda grp: jax.vmap(lambda zz: fs_d.decode(zz, chunk=decoding_t))(grp),
+            z,
+        )
+
+    out = jax.jit(decode_fn, in_shardings=(repl, rsh), out_shardings=rsh)(
+        jax.device_put(fs.params_decoder, repl), jax.device_put(padded, rsh)
+    )
+    return out.reshape((g * nd,) + out.shape[2:])[:total]
 
 
 def run_single_video(
@@ -357,7 +388,17 @@ def run_single_video(
     # step 4 reuses the step-1 latent (add_noise output or inversion output;
     # the reference passes the same `latent` to every sample_video call,
     # svd_single_video_inference.py:497)
-    if args.runs_chunk <= 1:
+    use_mesh = args.mesh == "runs" or (args.mesh == "auto" and jax.device_count() > 1)
+    mesh = None
+    if use_mesh:
+        from vidseg_diffusion_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(axes=("runs",), shape=(jax.device_count(),))
+        finals = engine.modulated_runs_sharded(
+            pipeline.unet_params, noised, c, uc, masks_block, masks_latent,
+            cache, t_start_mod, mesh=mesh,
+        )
+    elif args.runs_chunk <= 1:
         # smallest compile unit: one jitted Euler step reused across all
         # steps and runs (see modulated_runs_host_stepped)
         finals = engine.modulated_runs_host_stepped(
@@ -370,20 +411,23 @@ def run_single_video(
             cache, t_start_mod, chunk=min(args.runs_chunk, 2 * k),
         )
 
-    # decode ±λ runs (chunked like decoding_t). One dispatch per run — a
-    # single program decoding all 2·K·T frames runs minutes on-device and
-    # can exceed worker execution limits; per-run dispatches are the same
-    # total work with negligible dispatch overhead.
-    # decoder params as arguments (not embedded constants)
-    decode_run = jax.jit(
-        lambda dp, z: dataclasses.replace(fs, params_decoder=dp).decode(
-            z, chunk=args.decoding_t
-        )
-    )
+    # decode ±λ runs (chunked like decoding_t). Single chip: one dispatch
+    # per run — a single program decoding all 2·K·T frames runs minutes
+    # on-device and can exceed worker execution limits. Mesh: runs decode in
+    # parallel, one per device per map step.
     flat = finals.reshape((-1,) + finals.shape[2:])
-    decoded = jnp.stack(
-        [decode_run(fs.params_decoder, flat[i]) for i in range(flat.shape[0])]
-    )
+    if use_mesh:
+        decoded = _decode_runs_sharded(fs, flat, args.decoding_t, mesh)
+    else:
+        # decoder params as arguments (not embedded constants)
+        decode_run = jax.jit(
+            lambda dp, z: dataclasses.replace(fs, params_decoder=dp).decode(
+                z, chunk=args.decoding_t
+            )
+        )
+        decoded = jnp.stack(
+            [decode_run(fs.params_decoder, flat[i]) for i in range(flat.shape[0])]
+        )
     decoded = decoded.reshape(finals.shape[:2] + decoded.shape[1:])
     decoded = jnp.clip((decoded + 1.0) / 2.0, 0.0, 1.0) * 255.0
 

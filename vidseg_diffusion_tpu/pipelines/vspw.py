@@ -135,6 +135,7 @@ def run_vspw_sweep(
     num_classes: int = 124,
     evaluate: bool = True,
     manifest_path: Optional[str] = None,
+    process_shard: bool = False,
 ) -> Dict:
     """Sweep the val split, skipping failed videos (svd_pipeline_vspw.py
     :651-676), optionally scoring against GT masks.
@@ -142,12 +143,23 @@ def run_vspw_sweep(
     `manifest_path` enables explicit resume: completed/failed videos are
     journaled as JSON-lines and skipped on re-run — replacing the
     reference's implicit resume-by-artifacts-on-disk + manual
-    --exp_start_idx bookkeeping (SURVEY.md §5)."""
+    --exp_start_idx bookkeeping (SURVEY.md §5).
+
+    Scale-out layout: within one process each video's 2·num_masks modulated
+    runs shard over the local 'runs' device mesh (run_single_video
+    mesh='auto' — at VSPW defaults that is a 40-wide grid, saturating a
+    v5p-8 per video); `process_shard=True` additionally slices the video
+    list across `jax.process_count()` hosts (DCN data parallelism, no
+    cross-video communication exists to lose)."""
     import json
 
     names = list(video_names)[exp_start_idx:]
     if num_exp is not None:
         names = names[:num_exp]
+    if process_shard:
+        from vidseg_diffusion_tpu.parallel.mesh import process_slice
+
+        names = names[process_slice(len(names))]
 
     already = set()
     if manifest_path and os.path.exists(manifest_path):
