@@ -52,6 +52,10 @@ def ensure_reference_importable():
     _stub("torchvision.transforms")
     _stub("torchvision.transforms.functional")
     sys.modules["torchvision"].transforms = sys.modules["torchvision.transforms"]
+    tvf = sys.modules["torchvision.transforms.functional"]
+    # sampling.py:247 calls F.to_pil_image into a dead local — a no-op stub
+    tvf.to_pil_image = lambda *a, **k: None
+    sys.modules["torchvision.transforms"].functional = tvf
 
 
 def import_reference_unet():
@@ -81,3 +85,24 @@ def import_reference_video_decoder():
     from sgm.modules.autoencoding.temporal_ae import VideoDecoder  # noqa
 
     return VideoDecoder
+
+
+def de_zero_(module, seed=99, scale=0.02):
+    """Replace every all-zero parameter tensor with small randoms, in place.
+
+    The reference zero-initializes ResBlock second convs, transformer
+    proj_out, and the final out conv (openaimodel.py zero_module), so a
+    stock-init reference UNet's output is identically zero and forward
+    parity against it is vacuous — a conversion/wiring bug upstream of any
+    zeroed module would go unseen (this masked a Downsample padding bug in
+    round 1). Parity tests must call this before converting the state dict.
+    """
+    import torch
+
+    g = torch.Generator().manual_seed(seed)
+    sd = module.state_dict()
+    for k, v in sd.items():
+        if v.numel() and float(v.abs().max()) == 0.0:
+            sd[k] = torch.randn(v.shape, generator=g) * scale
+    module.load_state_dict(sd)
+    return module

@@ -40,7 +40,8 @@ class TestReferenceAttention:
     "b,h,lq,lk,d",
     [
         (1, 1, 256, 256, 64),   # aligned, multi k-block
-        (1, 1, 160, 96, 64),    # unaligned seq (pad-masked)
+        (1, 1, 160, 96, 64),    # unaligned seq (single k-block fast path)
+        (1, 1, 128, 300, 64),   # multi k-block with padded tail block
     ],
 )
 def test_flash_matches_reference_interpret(b, h, lq, lk, d):
@@ -62,4 +63,23 @@ def test_dispatcher_small_seq_uses_reference():
     out = dot_product_attention(q, q, q)
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(mha_reference(q, q, q)), rtol=1e-6
+    )
+
+
+def test_flash_bf16_inputs_interpret():
+    """bf16 q/k/v (the model path's dtype): dots run in bf16 with fp32
+    accumulation inside the kernel; compare against the fp32 reference at
+    bf16-appropriate tolerance."""
+    rng = jax.random.PRNGKey(7)
+    r1, r2, r3 = jax.random.split(rng, 3)
+    q = _rand(r1, 2, 2, 256, 64).astype(jnp.bfloat16)
+    k = _rand(r2, 2, 2, 300, 64).astype(jnp.bfloat16)
+    v = _rand(r3, 2, 2, 300, 64).astype(jnp.bfloat16)
+
+    expected = mha_reference(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
+    )
+    got = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(expected), atol=2e-2, rtol=2e-2
     )

@@ -15,6 +15,7 @@ import pytest
 torch = pytest.importorskip("torch")
 
 from reference_compat import (  # noqa: E402
+    de_zero_,  # noqa: E402
     import_reference_unet,
     import_reference_vae,
     import_reference_video_decoder,
@@ -39,7 +40,7 @@ class TestImageUNetParity:
     def test_tiny_unet_matches_reference(self):
         RefUNet = import_reference_unet()
         torch.manual_seed(0)
-        ref = RefUNet(
+        ref = de_zero_(RefUNet(
             in_channels=4,
             out_channels=4,
             model_channels=32,
@@ -51,7 +52,7 @@ class TestImageUNetParity:
             context_dim=24,
             use_linear_in_transformer=True,
             use_checkpoint=False,
-        ).eval()
+        ).eval())
 
         cfg = UNetConfig(
             in_channels=4, out_channels=4, model_channels=32, num_res_blocks=1,
@@ -91,7 +92,7 @@ class TestVideoUNetParity:
     def test_tiny_video_unet_matches_reference(self):
         RefVideoUNet = import_reference_video_unet()
         torch.manual_seed(0)
-        ref = RefVideoUNet(
+        ref = de_zero_(RefVideoUNet(
             in_channels=8,
             out_channels=4,
             model_channels=32,
@@ -109,7 +110,7 @@ class TestVideoUNetParity:
             video_kernel_size=[3, 1, 1],
             num_classes="sequential",
             adm_in_channels=12,
-        ).eval()
+        ).eval())
 
         cfg = UNetConfig(
             in_channels=8, out_channels=4, model_channels=32, num_res_blocks=1,
@@ -164,7 +165,7 @@ class TestVAEParity:
     def test_encoder_parity(self):
         RefEncoder, _ = import_reference_vae()
         torch.manual_seed(0)
-        ref = RefEncoder(**self.DD).eval()
+        ref = de_zero_(RefEncoder(**self.DD).eval())
         enc = fvae.Encoder(self._cfg())
         rng = np.random.RandomState(2)
         x = rng.randn(2, 3, 32, 32).astype(np.float32)
@@ -180,7 +181,7 @@ class TestVAEParity:
     def test_decoder_parity(self):
         _, RefDecoder = import_reference_vae()
         torch.manual_seed(0)
-        ref = RefDecoder(**self.DD).eval()
+        ref = de_zero_(RefDecoder(**self.DD).eval())
         dec = fvae.Decoder(self._cfg())
         rng = np.random.RandomState(3)
         z = rng.randn(2, 4, 8, 8).astype(np.float32)
@@ -197,7 +198,7 @@ class TestVAEParity:
     def test_video_decoder_parity(self):
         RefVideoDecoder = import_reference_video_decoder()
         torch.manual_seed(0)
-        ref = RefVideoDecoder(**self.DD, video_kernel_size=[3, 1, 1]).eval()
+        ref = de_zero_(RefVideoDecoder(**self.DD, video_kernel_size=[3, 1, 1]).eval())
         dec = fvae.Decoder(self._cfg(video=True))
         t = 3
         rng = np.random.RandomState(4)

@@ -15,7 +15,7 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
-from reference_compat import ensure_reference_importable, import_reference_video_unet  # noqa: E402
+from reference_compat import de_zero_, ensure_reference_importable, import_reference_video_unet  # noqa: E402
 from vidseg_diffusion_tpu.diffusion import (  # noqa: E402
     Denoiser,
     EDMDiscretization,
@@ -43,20 +43,20 @@ def stack():
 
     RefVideoUNet = import_reference_video_unet()
     torch.manual_seed(0)
-    ref_unet = RefVideoUNet(
+    ref_unet = de_zero_(RefVideoUNet(
         in_channels=8, out_channels=4, model_channels=32, num_res_blocks=1,
         attention_resolutions=[2, 1], channel_mult=[1, 2], num_head_channels=16,
         transformer_depth=1, context_dim=CTX, use_linear_in_transformer=True,
         use_checkpoint=False, extra_ff_mix_layer=True, use_spatial_context=True,
         merge_strategy="learned_with_images", video_kernel_size=[3, 1, 1],
         num_classes="sequential", adm_in_channels=ADM,
-    ).eval()
+    ).eval())
 
-    ref_denoiser = RefDenoiser(
+    ref_denoiser = de_zero_(RefDenoiser(
         scaling_config={
             "target": "sgm.modules.diffusionmodules.denoiser_scaling.VScalingWithEDMcNoise"
         }
-    )
+    ))
     ref_sampler = RefSampler(
         discretization_config={
             "target": "sgm.modules.diffusionmodules.discretizer.EDMDiscretization",

@@ -9,7 +9,7 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
-from reference_compat import ensure_reference_importable, import_reference_unet  # noqa: E402
+from reference_compat import de_zero_, ensure_reference_importable, import_reference_unet  # noqa: E402
 from vidseg_diffusion_tpu.diffusion import (  # noqa: E402
     DiscreteDenoiser,
     EpsScaling,
@@ -32,20 +32,20 @@ def test_sd_loop_parity():
 
     RefUNet = import_reference_unet()
     torch.manual_seed(0)
-    ref_unet = RefUNet(
+    ref_unet = de_zero_(RefUNet(
         in_channels=4, out_channels=4, model_channels=32, num_res_blocks=1,
         attention_resolutions=[2, 1], channel_mult=[1, 2], num_head_channels=16,
         transformer_depth=1, context_dim=CTX, use_linear_in_transformer=True,
         use_checkpoint=False,
-    ).eval()
+    ).eval())
 
-    ref_denoiser = RefDD(
+    ref_denoiser = de_zero_(RefDD(
         scaling_config={"target": "sgm.modules.diffusionmodules.denoiser_scaling.EpsScaling"},
         num_idx=1000,
         discretization_config={
             "target": "sgm.modules.diffusionmodules.discretizer.LegacyDDPMDiscretization"
         },
-    )
+    ))
     ref_sampler = RefSampler(
         discretization_config={
             "target": "sgm.modules.diffusionmodules.discretizer.LegacyDDPMDiscretization"

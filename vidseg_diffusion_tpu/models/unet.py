@@ -278,7 +278,12 @@ class Downsample(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         c = self.out_channels if self.out_channels is not None else x.shape[-1]
-        return nn.Conv(c, (3, 3), strides=(2, 2), dtype=self.dtype, name="op")(x)
+        # torch Conv2d(stride=2, padding=1) pads symmetrically; flax's default
+        # "SAME" would pad (0, 1) at stride 2 and sample a shifted grid
+        return nn.Conv(
+            c, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+            dtype=self.dtype, name="op",
+        )(x)
 
 
 class UNetModel(nn.Module):

@@ -92,6 +92,8 @@ class VidSegResult:
     masks: np.ndarray              # [K, T, fh, fw]
     unique_labels: np.ndarray      # [K]
     gt_state: Optional[GTMatchState] = None
+    cluster_features: Optional[np.ndarray] = None  # [2T, fh*fw, C] harvested q
+    diff_maps: Optional[np.ndarray] = None         # [K, T, H, W] uint8-valued
 
 
 def _cluster_block_names(args: VidSegArgs, video: bool) -> Tuple[int, ...]:
@@ -233,6 +235,7 @@ def run_single_video(
     gt_state: Optional[GTMatchState] = None,   # carried across VSPW batches
     text_tokens: Optional[np.ndarray] = None,  # SD 2.1 text path
     write_outputs: bool = True,
+    mask_override: Optional[np.ndarray] = None,  # [K, T, fh*fw] precomputed masks
 ) -> VidSegResult:
     t, hpx, wpx = frames.shape[:3]
     video = pipeline.spec.unet_config.video
@@ -330,7 +333,13 @@ def run_single_video(
 
     unique_labels = None
     new_gt_state = None
-    if args.feature_extraction_mode == "kmeans_masks":
+    if mask_override is not None:
+        # externally supplied masks (the reference loads masks from whatever
+        # PNG folder exists — load_feature_masks svd_single_video_inference.py:
+        # 67-104 — so precomputed masks are a first-class input)
+        masks_tok = jnp.asarray(mask_override).reshape(-1, t, fh * fw)
+        unique_labels = jnp.arange(masks_tok.shape[0])
+    elif args.feature_extraction_mode == "kmeans_masks":
         masks_tok, unique_labels = kmeans_masks(
             jax.random.fold_in(rng, 3), feat, args.num_masks, t
         )
@@ -483,4 +492,6 @@ def run_single_video(
         masks=masks_px,
         unique_labels=np.asarray(unique_labels),
         gt_state=new_gt_state,
+        cluster_features=np.asarray(feat),
+        diff_maps=np.asarray(diff),
     )
