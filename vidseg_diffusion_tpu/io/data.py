@@ -96,3 +96,140 @@ def batch_iterator(x: np.ndarray, y: np.ndarray, batch: int, seed: int = 0):
         for s in range(0, n - batch + 1, batch):
             sel = idx[s : s + batch]
             yield x[sel], y[sel]
+
+
+# ---------------------------------------------------------------------------
+# Sharded-tar streaming dataset (webdataset semantics)
+# ---------------------------------------------------------------------------
+# The reference delegates to webdataset via the missing `sdata` submodule
+# (sgm/data/dataset.py:8-17 hard-exits without it). This is the equivalent
+# reader, self-contained: brace-expanded shard lists, sequential tar
+# streaming, sample grouping by key, extension-keyed decoding, reservoir
+# shuffle, and per-process shard slicing for multi-host ingest over DCN.
+
+
+def brace_expand(pattern: str) -> list:
+    """webdataset-style "{000..009}" brace expansion (single range)."""
+    import re
+
+    m = re.search(r"\{(\d+)\.\.(\d+)\}", pattern)
+    if not m:
+        return [pattern]
+    lo, hi = m.group(1), m.group(2)
+    width = len(lo)
+    return [
+        pattern[: m.start()] + str(i).zfill(width) + pattern[m.end():]
+        for i in range(int(lo), int(hi) + 1)
+    ]
+
+
+def _default_decode(name: str, data: bytes):
+    ext = name.split(".", 1)[-1].lower()
+    if ext in ("jpg", "jpeg", "png", "ppm", "bmp", "webp"):
+        import io as _io
+
+        from PIL import Image
+
+        return np.asarray(Image.open(_io.BytesIO(data)).convert("RGB"))
+    if ext in ("cls", "id"):
+        return int(data)
+    if ext == "json":
+        import json
+
+        return json.loads(data)
+    if ext in ("npy", "npz"):
+        import io as _io
+
+        return np.load(_io.BytesIO(data), allow_pickle=False)
+    if ext in ("txt", "text", "caption"):
+        return data.decode("utf-8")
+    return data
+
+
+class ShardedTarDataset:
+    """Streaming reader over tar shards, one sample per basename key.
+
+    Files `key.ext` within a shard are grouped into `{"__key__": key,
+    ext: decoded}` dicts (webdataset's grouping contract). Shards stream
+    sequentially (`tarfile 'r|'`) so samples never materialize the whole
+    shard; `shuffle` applies a reservoir buffer over samples. With
+    `shard_by_process=True` the shard list is sliced
+    `[process_index::process_count]` so each host ingests a disjoint subset
+    — the DP ingest layout for a multi-host mesh."""
+
+    def __init__(
+        self,
+        shards,                       # pattern str or list of paths
+        decode: Optional[Callable] = None,
+        shuffle: int = 0,             # reservoir size; 0 = in-order
+        seed: int = 0,
+        shard_by_process: bool = False,
+        repeat: bool = False,
+    ):
+        if isinstance(shards, str):
+            shards = brace_expand(shards)
+        self.shards = list(shards)
+        if shard_by_process:
+            self.shards = self.shards[
+                jax.process_index():: max(1, jax.process_count())
+            ]
+        self.decode = decode or _default_decode
+        self.shuffle = shuffle
+        self.seed = seed
+        self.repeat = repeat
+
+    def _iter_samples(self, rng: np.random.RandomState):
+        import tarfile
+
+        shards = list(self.shards)
+        if self.shuffle:
+            rng.shuffle(shards)
+        for shard in shards:
+            with tarfile.open(shard, mode="r|*") as tf:
+                key, sample = None, {}
+                for member in tf:
+                    if not member.isfile():
+                        continue
+                    base = os.path.basename(member.name)
+                    k, _, ext = base.partition(".")
+                    if key is not None and k != key:
+                        yield sample
+                        sample = {}
+                    key = k
+                    sample["__key__"] = k
+                    data = tf.extractfile(member).read()
+                    sample[ext] = self.decode(base, data)
+                if sample:
+                    yield sample
+
+    def __iter__(self):
+        rng = np.random.RandomState(self.seed)
+        while True:
+            it = self._iter_samples(rng)
+            if not self.shuffle:
+                yield from it
+            else:
+                buf = []
+                for sample in it:
+                    if len(buf) < self.shuffle:
+                        buf.append(sample)
+                        continue
+                    j = rng.randint(0, len(buf))
+                    buf[j], sample = sample, buf[j]
+                    yield sample
+                rng.shuffle(buf)
+                yield from buf
+            if not self.repeat:
+                return
+
+
+def batched(iterator: Iterator, batch: int, keys: Optional[Sequence[str]] = None):
+    """Collate dict samples into stacked-array batches of size `batch`
+    (drops the final partial batch, webdataset .batched semantics)."""
+    buf = []
+    for sample in iterator:
+        buf.append(sample)
+        if len(buf) == batch:
+            ks = keys or [k for k in buf[0] if k != "__key__"]
+            yield {k: np.stack([b[k] for b in buf]) for k in ks}
+            buf = []
