@@ -25,15 +25,17 @@ import jax
 import jax.numpy as jnp
 
 
-def main():
+def build_bench_step(t=14, h_lat=448 // 8, w_lat=832 // 8):
+    """The benchmark program: one jitted SVD-UNet denoise step on the
+    CFG-doubled frame batch. Shared with scripts/tests/unet_profile.py so
+    profiling measures the exact program the bench times (and hits the same
+    compilation cache entry)."""
     import os
 
     os.makedirs(".jax_cache", exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", ".jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
-    t = 14
-    h_lat, w_lat = 448 // 8, 832 // 8  # 56 x 104
     bt = 2 * t
 
     from vidseg_diffusion_tpu.models.unet import UNetConfig, UNetModel
@@ -91,15 +93,24 @@ def main():
         # chain: keep batch/channel shape by re-concatenating the 4-ch output
         return jnp.concatenate([out, out], axis=-1).astype(jnp.bfloat16)
 
+    return step, params, x, n_params
+
+
+def time_step(step, params, x, n_iter=8):
     x = step(params, x)  # compile + warmup
     x.block_until_ready()
-
-    n_iter = 8
     t0 = time.perf_counter()
     for _ in range(n_iter):
         x = step(params, x)
     x.block_until_ready()
-    dt = (time.perf_counter() - t0) / n_iter
+    return (time.perf_counter() - t0) / n_iter
+
+
+def main():
+    t = 14
+    step, params, x, n_params = build_bench_step(t=t)
+    dt = time_step(step, params, x)
+    bt, h_lat, w_lat = x.shape[0], x.shape[1], x.shape[2]
 
     frames_per_sec = t / dt  # 14 video frames denoised per step
 
@@ -109,6 +120,8 @@ def main():
         try:
             with open(rounds[-1]) as f:
                 rec = json.load(f)
+            # driver wraps the bench line under "parsed"
+            rec = rec.get("parsed", rec)
             if rec.get("unit") == "frames/sec/chip":
                 prev = float(rec["value"])
         except Exception:

@@ -76,15 +76,35 @@ def main():
 
     # timed run (new noise seed → no dispatch caching)
     vargs2 = VidSegArgs(**{**vargs.__dict__, "seed": 2})
+    timings = {}
     t0 = time.perf_counter()
-    res = run_single_video(pipeline, frames, names, vargs2, write_outputs=False)
+    res = run_single_video(
+        pipeline, frames, names, vargs2, write_outputs=False, timings=timings
+    )
     total = time.perf_counter() - t0
     print(
         f"e2e swan pipeline: {total:.1f}s total, {total/t:.2f} s/frame, "
         f"{t/total:.2f} frames/sec (num_masks={args.num_masks}, "
         f"runs={2*args.num_masks}, steps={args.num_steps})"
     )
+    for stage, dt in timings.items():
+        print(f"  {stage:20s} {dt:7.2f}s  ({dt/total:5.1%})")
     print("labels:", res.unique_labels)
+
+    import json
+
+    with open("BENCH_E2E.json", "w") as f:
+        json.dump({
+            "total_s": round(total, 2),
+            "s_per_frame": round(total / t, 3),
+            "frames_per_sec": round(t / total, 3),
+            "num_masks": args.num_masks,
+            "num_steps": args.num_steps,
+            "decoding_t": args.decoding_t,
+            "stages_s": {k: round(v, 3) for k, v in timings.items()},
+            "device": __import__("jax").devices()[0].device_kind,
+        }, f, indent=2)
+    print("wrote BENCH_E2E.json")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,69 @@
+"""Fused GroupNorm(+SiLU) Pallas kernels vs the jnp reference (interpret
+mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vidseg_diffusion_tpu.ops.norm import (
+    group_norm,
+    group_norm_reference,
+    group_norm_silu,
+)
+
+
+@pytest.mark.parametrize(
+    "shape,groups,silu",
+    [
+        ((2, 13, 8, 64), 32, False),     # odd rows (padded path)
+        ((3, 56, 104, 96), 32, True),    # UNet-like, divisor tile
+        ((2, 7, 10, 320), 32, True),     # wide channels
+        ((1, 8, 8, 32), 32, False),      # one channel per group
+    ],
+)
+def test_group_norm_silu_matches_reference(shape, groups, silu):
+    x = jax.random.normal(jax.random.PRNGKey(0), shape, jnp.float32) * 2 + 0.5
+    c = shape[-1]
+    scale = jax.random.normal(jax.random.PRNGKey(1), (c,)) * 0.1 + 1.0
+    bias = jax.random.normal(jax.random.PRNGKey(2), (c,)) * 0.1
+    ref = group_norm_reference(x, scale, bias, groups=groups, silu=silu)
+    got = group_norm_silu(
+        x, scale, bias, groups=groups, silu=silu, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=3e-6, rtol=3e-6
+    )
+
+
+def test_group_norm_silu_bf16():
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 16, 8, 64), jnp.bfloat16)
+    scale = jnp.ones((64,))
+    bias = jnp.zeros((64,))
+    ref = group_norm_reference(x, scale, bias, silu=True)
+    got = group_norm_silu(x, scale, bias, silu=True, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        atol=2e-3, rtol=2e-2,
+    )
+
+
+def test_dispatcher_torch_semantics():
+    """5D input (video resblock): stats over all non-batch spatial dims,
+    matching torch GroupNorm on (N, C, T, H, W)."""
+    torch = pytest.importorskip("torch")
+    x = np.random.RandomState(0).randn(2, 3, 6, 8, 64).astype(np.float32)
+    scale = np.random.RandomState(1).randn(64).astype(np.float32)
+    bias = np.random.RandomState(2).randn(64).astype(np.float32)
+    got = group_norm(
+        jnp.asarray(x), jnp.asarray(scale), jnp.asarray(bias),
+        groups=32, force_pallas=False,
+    )
+    gn = torch.nn.GroupNorm(32, 64)
+    gn.weight.data = torch.from_numpy(scale)
+    gn.bias.data = torch.from_numpy(bias)
+    with torch.no_grad():
+        # NHWC video -> torch NC(THW)
+        ref = gn(torch.from_numpy(x.transpose(0, 4, 1, 2, 3).reshape(2, 64, -1)))
+    ref = ref.numpy().reshape(2, 64, 3, 6, 8).transpose(0, 2, 3, 4, 1)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5, rtol=1e-5)

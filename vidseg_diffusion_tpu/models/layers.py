@@ -20,7 +20,7 @@ embedding :209-233, AlphaBlender :314-381) and sgm/modules/attention.py
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import flax.struct
@@ -224,12 +224,34 @@ def _inject(computed: jax.Array, injected: Optional[jax.Array], gate) -> jax.Arr
     return jnp.where(gate, injected.astype(computed.dtype), computed)
 
 
+class _Kernel(nn.Module):
+    """Bare parameter container with nn.Dense's param tree (kernel[, bias])
+    so the checkpoint converter's key mapping is unchanged."""
+
+    shape: Tuple[int, int]
+    bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+        b = self.param("bias", nn.initializers.zeros, (self.shape[1],)) if self.bias else None
+        return k, b
+
+
 class CrossAttention(nn.Module):
     """Q/K/V projection + SDPA + output projection (attention.py:257-364).
 
     Self-attention when `context is None`. Sows the pre-head-split Q and K
     projections into 'intermediates' (the reference caches them as module
-    attributes, attention.py:330-331, and dumps them to disk)."""
+    attributes, attention.py:330-331, and dumps them to disk).
+
+    The projections contract straight into head-major [B, H, L, D] layout
+    (einsum 'blc,chd', with the softmax-side transpose folded into the
+    matmul output layout) instead of Dense-then-transpose — the explicit
+    [B, L, H·D] -> [B, H, L, D] copies around every attention site cost
+    ~3 ms per ds1 site on v5e. The flat [B, L, H·D] view exists only inside
+    sow (dead-code-eliminated unless 'intermediates' is mutable) and the
+    injection override (modulated runs only)."""
 
     heads: int = 8
     dim_head: int = 64
@@ -243,31 +265,51 @@ class CrossAttention(nn.Module):
         context: Optional[jax.Array] = None,
         injection: Optional[AttnInjection] = None,
     ) -> jax.Array:
-        inner = self.heads * self.dim_head
+        h, dh = self.heads, self.dim_head
+        inner = h * dh
         out_dim = self.out_dim if self.out_dim is not None else x.shape[-1]
         ctx = x if context is None else context
+        b, lq, _ = x.shape
+        lk = ctx.shape[1]
 
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        wq, _ = _Kernel((x.shape[-1], inner), name="to_q")()
+        wk, _ = _Kernel((ctx.shape[-1], inner), name="to_k")()
+        wv, _ = _Kernel((ctx.shape[-1], inner), name="to_v")()
+
+        xd = x.astype(self.dtype)
+        cd = ctx.astype(self.dtype)
+
+        def proj(t, w, l):
+            return jnp.einsum(
+                "blc,chd->bhld", t, w.astype(self.dtype).reshape(-1, h, dh)
+            )
+
+        q = proj(xd, wq, lq)
+        k = proj(cd, wk, lk)
+        v = proj(cd, wv, lk)
+
+        def to_heads(flat, l):
+            return flat.reshape(b, l, h, dh).transpose(0, 2, 1, 3)
 
         if injection is not None:
-            q = _inject(q, injection.q, injection.gate)
-            k = _inject(k, injection.k, injection.gate)
-            v = _inject(v, injection.v, injection.gate)
+            q = _inject(q, None if injection.q is None else to_heads(injection.q, lq), injection.gate)
+            k = _inject(k, None if injection.k is None else to_heads(injection.k, lk), injection.gate)
+            v = _inject(v, None if injection.v is None else to_heads(injection.v, lk), injection.gate)
 
-        self.sow("intermediates", "q", q)
-        self.sow("intermediates", "k", k)
+        def to_flat(t, l):
+            return t.transpose(0, 2, 1, 3).reshape(b, l, inner)
 
-        b, lq, _ = q.shape
-        lk = k.shape[1]
+        self.sow("intermediates", "q", to_flat(q, lq))
+        self.sow("intermediates", "k", to_flat(k, lk))
 
-        def split(t, l):
-            return t.reshape(b, l, self.heads, self.dim_head).transpose(0, 2, 1, 3)
-
-        out = dot_product_attention(split(q, lq), split(k, lk), split(v, lk))
-        out = out.transpose(0, 2, 1, 3).reshape(b, lq, inner)
-        return nn.Dense(out_dim, dtype=self.dtype, name="to_out")(out)
+        out = dot_product_attention(q, k, v)
+        wo, bo = _Kernel((inner, out_dim), bias=True, name="to_out")()
+        return (
+            jnp.einsum(
+                "bhld,hdc->blc", out, wo.astype(self.dtype).reshape(h, dh, out_dim)
+            )
+            + bo.astype(self.dtype)
+        )
 
 
 @flax.struct.dataclass

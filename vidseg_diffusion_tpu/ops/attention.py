@@ -49,8 +49,17 @@ def mha_reference(
     ).astype(q.dtype)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, kv_len):
-    """One (q-block, k-block) tile of online-softmax attention."""
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, kv_len, block_k):
+    """One (q-block, k-block) tile of online-softmax attention.
+
+    VPU-lean formulation (the kernel is VPU/MXU mixed-bound at the VidSeg
+    d=64 sizes — see scripts/tests/attn_tune.py):
+    - the 1/√d scale is folded into q by the caller, not applied to the
+      [bq, bk] logits
+    - key-padding masking (iota + compare + select on l² elements) runs only
+      on the tail block that actually contains padding
+    - the single-k-block grid skips the online-rescaling machinery entirely
+    """
     kb = pl.program_id(2)
     nkb = pl.num_programs(2)
 
@@ -60,36 +69,46 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, k
         m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    q = q_ref[0].astype(jnp.float32)  # [bq, d]
-    k = k_ref[0].astype(jnp.float32)  # [bk, d]
-    v = v_ref[0].astype(jnp.float32)  # [bk, d]
+    # dots run in the input dtype (bf16 on the model path) with fp32
+    # accumulation — the MXU's native mode; upcasting the inputs to f32
+    # first would force the much slower multi-pass f32 matmul
+    q = q_ref[0]  # [bq, d] (pre-scaled)
+    k = k_ref[0]  # [bk, d]
+    v = v_ref[0]  # [bk, d]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [bq, bk]
+    )  # [bq, bk] fp32
 
-    # mask out k padding beyond the true kv length
-    block_k = k.shape[0]
-    k_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(k_ids < kv_len, s, DEFAULT_MASK_VALUE)
+    if kv_len % block_k != 0:  # static: padding exists only in the tail block
+        k_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(
+            jnp.logical_or(kb != nkb - 1, k_ids < kv_len), s, DEFAULT_MASK_VALUE
+        )
 
     m_prev = m_ref[:]  # [bq, 1]
     l_prev = l_ref[:]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_next = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_next)
     p = jnp.exp(s - m_next)
-    l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-
-    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    psum = jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
-    m_ref[:] = m_next
-    l_ref[:] = l_next
+    if nkb == 1:
+        # single pass: no rescaling, no accumulator round-trip
+        o_ref[0] = (pv / psum).astype(o_ref.dtype)
+    else:
+        alpha = jnp.exp(m_prev - m_next)
+        l_next = alpha * l_prev + psum
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = m_next
+        l_ref[:] = l_next
 
-    @pl.when(kb == nkb - 1)
-    def _finalize():
-        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+        @pl.when(kb == nkb - 1)
+        def _finalize():
+            o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -104,8 +123,8 @@ def flash_attention(
     k: jax.Array,
     v: jax.Array,
     scale: Optional[float] = None,
-    block_q: int = 512,
-    block_k: int = 1536,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Pallas TPU flash attention. Shapes [B, H, Lq, D] / [B, H, Lk, D].
@@ -125,18 +144,43 @@ def flash_attention(
     b, h, lq, d = q.shape
     lk = k.shape[2]
 
-    d_pad = _round_up(d, 128)
+    # Auto blocks (v5e-tuned at the VidSeg spatial shapes, see
+    # scripts/tests/attn_tune.py): prefer a block_q that divides Lq exactly
+    # (a padded Lq costs a full q AND out relayout pass); block_k as large
+    # as the VMEM budget allows — fewer online-softmax passes measured ~10%
+    # faster (18.7 vs 20.6 ms at [140, 5824, 64]) and a single pass skips
+    # the rescale machinery entirely.
+    if block_q is None:
+        block_q = max(
+            (c for c in range(256, 520, 8) if lq % c == 0), default=512
+        )
+    if block_k is None:
+        block_k = max(
+            (c for c in range(1024, 3080, 8) if lk % c == 0), default=2944
+        )
+
+    # Never pad the head dim: a full-dim (last) block is legal at any D, and
+    # physically padding 64->128 would double the MXU depth of BOTH dots
+    # with zeros (measured ~2x kernel time at the VidSeg D=64 shapes). For
+    # non-tile-aligned D (not mult of 128) Mosaic pads lanes in VMEM only.
+    d_pad = d
     block_q = min(block_q, _round_up(lq, 128))
     block_k = min(block_k, _round_up(lk, 128))
 
-    # Shrink blocks until the working set fits VMEM (q/k/v blocks + logits
-    # + fp32 accumulator, double-buffered). Matters for wide heads — e.g.
-    # the VAE mid-attention runs a single 512-dim head over ~6k tokens.
-    def vmem_bytes(bq, bk):
-        per = bq * d_pad + 2 * bk * d_pad + bq * bk + bq * d_pad + 2 * bq
-        return per * 4 * 2  # fp32, double-buffered
+    # Shrink blocks until the working set fits VMEM (q/k/v/out blocks in the
+    # input dtype, logits/accumulator in fp32, double-buffered). Matters for
+    # wide heads — e.g. the VAE mid-attention runs a single 512-dim head
+    # over ~6k tokens.
+    in_bytes = q.dtype.itemsize
 
-    budget = 12 * 1024 * 1024
+    def vmem_bytes(bq, bk):
+        io = (2 * bq + 2 * bk) * d_pad * in_bytes  # q + out, k + v blocks
+        work = (bq * bk + bq * d_pad + 2 * bq) * 4  # logits, acc, m/l
+        return (io + work) * 2  # double-buffered
+
+    # 13 MB of the 16 MB scoped VMEM (the tuned ds1 config q448/k2912
+    # needs 12.4 MB; leave headroom for Mosaic temporaries)
+    budget = 13 * 1024 * 1024
     while vmem_bytes(block_q, block_k) > budget and block_k > 128:
         block_k = max(128, block_k // 2)
     while vmem_bytes(block_q, block_k) > budget and block_q > 128:
@@ -145,19 +189,20 @@ def flash_attention(
     lq_pad = _round_up(lq, block_q)
     lk_pad = _round_up(lk, block_k)
 
-    qf = q.reshape(b * h, lq, d)
+    # fold the softmax scale into q: bq·d multiplies instead of bq·bk
+    qf = (q * jnp.asarray(scale, q.dtype)).reshape(b * h, lq, d)
     kf = k.reshape(b * h, lk, d)
     vf = v.reshape(b * h, lk, d)
-    if d_pad != d or lq_pad != lq:
-        qf = jnp.pad(qf, ((0, 0), (0, lq_pad - lq), (0, d_pad - d)))
-    if d_pad != d or lk_pad != lk:
-        kf = jnp.pad(kf, ((0, 0), (0, lk_pad - lk), (0, d_pad - d)))
-        vf = jnp.pad(vf, ((0, 0), (0, lk_pad - lk), (0, d_pad - d)))
+    if lq_pad != lq:
+        qf = jnp.pad(qf, ((0, 0), (0, lq_pad - lq), (0, 0)))
+    if lk_pad != lk:
+        kf = jnp.pad(kf, ((0, 0), (0, lk_pad - lk), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, lk_pad - lk), (0, 0)))
 
     grid = (b * h, lq_pad // block_q, lk_pad // block_k)
 
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, kv_len=lk),
+        functools.partial(_flash_kernel, kv_len=lk, block_k=block_k),
         grid=grid,
         in_specs=[
             pl.BlockSpec(

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -236,7 +237,22 @@ def run_single_video(
     text_tokens: Optional[np.ndarray] = None,  # SD 2.1 text path
     write_outputs: bool = True,
     mask_override: Optional[np.ndarray] = None,  # [K, T, fh*fw] precomputed masks
+    timings: Optional[Dict[str, float]] = None,  # out-param: per-stage seconds
 ) -> VidSegResult:
+    def _mark(stage, *arrays):
+        # stage timing: block on the stage's outputs so lazy dispatch doesn't
+        # attribute work to the next stage (no-op unless timings requested)
+        if timings is None:
+            return
+        for a in arrays:
+            if hasattr(a, "block_until_ready"):
+                a.block_until_ready()
+        now = time.perf_counter()
+        timings[stage] = now - timings.pop("_t0", now)
+        timings["_t0"] = now
+
+    if timings is not None:
+        timings["_t0"] = time.perf_counter()
     t, hpx, wpx = frames.shape[:3]
     video = pipeline.spec.unet_config.video
     fdiv = 8
@@ -320,6 +336,7 @@ def run_single_video(
         ),
         static_argnames=(),
     )(pipeline.unet_params, latent, noised, r_noise)
+    _mark("encode+feature_pass", x0)
 
     # ---- step 3: masks ------------------------------------------------------
     feat_t = args.feature_timestep[0]
@@ -377,6 +394,7 @@ def run_single_video(
 
     k = masks_tok.shape[0]
     masks_px = np.asarray(masks_tok).reshape(k, t, fh, fw)
+    _mark("masks")
 
     # ---- step 4: modulated runs ---------------------------------------------
     mdiv = mod_div[mod_blocks[0]]
@@ -424,6 +442,7 @@ def run_single_video(
     # per run — a single program decoding all 2·K·T frames runs minutes
     # on-device and can exceed worker execution limits. Mesh: runs decode in
     # parallel, one per device per map step.
+    _mark("modulated_runs", finals)
     flat = finals.reshape((-1,) + finals.shape[2:])
     if use_mesh:
         decoded = _decode_runs_sharded(fs, flat, args.decoding_t, mesh)
@@ -439,6 +458,7 @@ def run_single_video(
         )
     decoded = decoded.reshape(finals.shape[:2] + decoded.shape[1:])
     decoded = jnp.clip((decoded + 1.0) / 2.0, 0.0, 1.0) * 255.0
+    _mark("decode", decoded)
 
     # ---- step 5: difference maps + seg --------------------------------------
     diff = compute_difference(decoded[0], decoded[1], mode="uint8_wrap")
@@ -449,6 +469,9 @@ def run_single_video(
             diff, masks=jnp.asarray(masks_px), filter_s=0.7, labels=labels_arr
         )
     )
+    _mark("seg_assembly")
+    if timings is not None:
+        timings.pop("_t0", None)
 
     # ---- user-facing artifacts ----------------------------------------------
     if write_outputs:
