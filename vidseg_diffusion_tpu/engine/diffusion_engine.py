@@ -11,6 +11,7 @@ batch so the whole decode stays one compiled program).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, Optional
 
 import jax
@@ -20,6 +21,19 @@ from vidseg_diffusion_tpu.models import vae as vae_mod
 from vidseg_diffusion_tpu.models.conditioner import Conditioner
 from vidseg_diffusion_tpu.models.unet import UNetModel
 from vidseg_diffusion_tpu.engine.vidseg import VidSegEngine
+
+
+@functools.partial(jax.jit, static_argnames=("module",))
+def _jit_apply(module, params, x):
+    """Jitted module.apply — the first-stage VAE must never run eagerly:
+    per-op dispatch of the full-res encoder costs ~7 s/frame through the
+    tunneled TPU vs ~0.1 s compiled (measured, swan e2e round 2)."""
+    return module.apply({"params": params}, x)
+
+
+@functools.partial(jax.jit, static_argnames=("module", "timesteps"))
+def _jit_apply_video(module, params, x, timesteps):
+    return module.apply({"params": params}, x, timesteps=timesteps)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -45,7 +59,7 @@ class FirstStage:
         rng None → posterior mode (AutoencoderKLModeOnly semantics)."""
 
         def enc(xc):
-            moments = self.encoder.apply({"params": self.params_encoder}, xc)
+            moments = _jit_apply(self.encoder, self.params_encoder, xc)
             if self.quant_conv is not None:
                 k, b = self.quant_conv
                 moments = jnp.einsum("bhwc,cd->bhwd", moments, k[0, 0]) + b
@@ -66,10 +80,10 @@ class FirstStage:
             if self.post_quant_conv is not None:
                 k, b = self.post_quant_conv
                 zc = jnp.einsum("bhwc,cd->bhwd", zc, k[0, 0]) + b
-            kwargs = {}
             if self.decoder.config.video_decoder:
-                kwargs["timesteps"] = zc.shape[0] if video_chunk_is_time else 1
-            return self.decoder.apply({"params": self.params_decoder}, zc, **kwargs)
+                ts = zc.shape[0] if video_chunk_is_time else 1
+                return _jit_apply_video(self.decoder, self.params_decoder, zc, ts)
+            return _jit_apply(self.decoder, self.params_decoder, zc)
 
         return _chunked(dec, z, chunk)
 
