@@ -219,8 +219,14 @@ def build_pipeline(
 
             vparams = cast(vparams)
 
+            # jitted with params as arguments (eager tower applies cost
+            # ~30 s/call through the tunneled TPU; see ROUND_NOTES r2)
+            _clip_fwd = jax.jit(
+                lambda p, f: vision.apply({"params": p}, clip_preprocess(f))
+            )
+
             def clip_image_fn(frames):
-                return vision.apply({"params": vparams}, clip_preprocess(frames))
+                return _clip_fwd(vparams, frames)
 
             # SVD cond-frame encoder (AutoencoderKLModeOnly) shares the
             # first-stage Encoder architecture; weights live under
@@ -240,12 +246,19 @@ def build_pipeline(
 
             cenc_params = cast(cenc_params)
 
-            def vae_encode_fn(frames):
-                moments = enc.apply({"params": cenc_params}, frames)
-                if cquant is not None:
-                    k, b = cquant
-                    moments = jnp.einsum("bhwc,cd->bhwd", moments, k[0, 0]) + b
+            _has_q = cquant is not None
+            _cq = tuple(jnp.asarray(a) for a in cquant) if _has_q else None
+
+            @jax.jit
+            def _cond_enc(p, q, frames):
+                moments = enc.apply({"params": p}, frames)
+                if _has_q:
+                    kq, bq = q
+                    moments = jnp.einsum("bhwc,cd->bhwd", moments, kq[0, 0]) + bq
                 return fvae.gaussian_sample(moments, None)  # mode only
+
+            def vae_encode_fn(frames):
+                return _cond_enc(cenc_params, _cq, frames)
 
             conditioner = build_svd_conditioner(clip_image_fn, vae_encode_fn)
             clip_apply = clip_image_fn
@@ -290,11 +303,14 @@ def build_pipeline(
                 tg_params = _synthesize_params(tg_shapes, jax.random.fold_in(rng, 7), dtype)
             tl_params, tg_params = cast(tl_params), cast(tg_params)
 
+            _l_fwd = jax.jit(lambda p, t: text_l.apply({"params": p}, t))
+            _g_fwd = jax.jit(lambda p, t: text_g.apply({"params": p}, t))
+
             def clip_l_fn(tokens):
-                return text_l.apply({"params": tl_params}, tokens)
+                return _l_fwd(tl_params, tokens)
 
             def clip_g_fn(tokens):
-                return text_g.apply({"params": tg_params}, tokens)
+                return _g_fwd(tg_params, tokens)
 
             outdims = [
                 ((e.get("params") or {}).get("outdim", 256))
@@ -322,8 +338,10 @@ def build_pipeline(
 
             tparams = cast(tparams)
 
+            _t_fwd = jax.jit(lambda p, t: text.apply({"params": p}, t))
+
             def clip_text_fn(tokens):
-                return text.apply({"params": tparams}, tokens)
+                return _t_fwd(tparams, tokens)
 
             conditioner = build_sd_text_conditioner(clip_text_fn)
             clip_apply = clip_text_fn
