@@ -176,6 +176,12 @@ class VidSegEngine:
             x_in, s_in, cond = self.guider.prepare_inputs(x, s, c, uc)
             ioi = jnp.zeros((2, num_video_frames), dtype=x.dtype)
             hooks = hooks_fn(i) if hooks_fn is not None else None
+            if collect and hooks is None:
+                # sow only at harvested sites — sowing every block's q/k
+                # under mutable=['intermediates'] writes GBs per step
+                hooks = UNetHooks(
+                    sow_blocks=tuple(sorted({b for b, _, _ in self.harvest.entries}))
+                )
 
             def network(xs, c_noise, cond_d):
                 return self._apply_unet(

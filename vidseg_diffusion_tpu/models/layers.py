@@ -257,6 +257,12 @@ class CrossAttention(nn.Module):
     dim_head: int = 64
     out_dim: Optional[int] = None  # defaults to query dim
     dtype: jnp.dtype = jnp.float32
+    # static: whether this site's q/k are harvested. When False the sow
+    # (and its head-major -> flat transpose) is never traced — with
+    # mutable=['intermediates'] a sow at EVERY site materializes GBs of
+    # unconsumed q/k per step (measured 3.5 s/step vs 0.6 in the swan
+    # feature pass)
+    sow_qk: bool = True
 
     @nn.compact
     def __call__(
@@ -299,8 +305,9 @@ class CrossAttention(nn.Module):
         def to_flat(t, l):
             return t.transpose(0, 2, 1, 3).reshape(b, l, inner)
 
-        self.sow("intermediates", "q", to_flat(q, lq))
-        self.sow("intermediates", "k", to_flat(k, lk))
+        if self.sow_qk:
+            self.sow("intermediates", "q", to_flat(q, lq))
+            self.sow("intermediates", "k", to_flat(k, lk))
 
         out = dot_product_attention(q, k, v)
         wo, bo = _Kernel((inner, out_dim), bias=True, name="to_out")()
@@ -329,6 +336,7 @@ class BasicTransformerBlock(nn.Module):
     dim_head: int
     dtype: jnp.dtype = jnp.float32
     disable_self_attn: bool = False
+    sow_qk: bool = True
 
     @nn.compact
     def __call__(
@@ -340,10 +348,12 @@ class BasicTransformerBlock(nn.Module):
     ) -> jax.Array:
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
         attn1 = CrossAttention(
-            heads=self.heads, dim_head=self.dim_head, dtype=self.dtype, name="attn1"
+            heads=self.heads, dim_head=self.dim_head, dtype=self.dtype,
+            sow_qk=self.sow_qk, name="attn1"
         )
         attn2 = CrossAttention(
-            heads=self.heads, dim_head=self.dim_head, dtype=self.dtype, name="attn2"
+            heads=self.heads, dim_head=self.dim_head, dtype=self.dtype,
+            sow_qk=self.sow_qk, name="attn2"
         )
         ff = FeedForward(dtype=self.dtype, name="ff")
 
@@ -382,6 +392,7 @@ class SpatialTransformer(nn.Module):
     use_linear: bool = True
     dtype: jnp.dtype = jnp.float32
     disable_self_attn: bool = False
+    sow_qk: bool = True
 
     @nn.compact
     def __call__(
@@ -407,6 +418,7 @@ class SpatialTransformer(nn.Module):
                 dim_head=self.dim_head,
                 dtype=self.dtype,
                 disable_self_attn=self.disable_self_attn,
+                sow_qk=self.sow_qk,
                 name=f"transformer_blocks_{d}",
             )(x, context=context, modulation=modulation, injection=injection)
 

@@ -54,6 +54,13 @@ class UNetHooks:
     output_mod: Dict[int, SiteModulation] = flax.struct.field(default_factory=dict)
     output_inj: Dict[int, SiteInjection] = flax.struct.field(default_factory=dict)
     input_inj: Dict[int, SiteInjection] = flax.struct.field(default_factory=dict)
+    # static: output-block indices whose attention q/k get sown. None = all
+    # sites (the default; tests inspect arbitrary blocks). The engine's
+    # feature pass narrows this to the harvested set — a sow at every site
+    # under mutable=['intermediates'] materializes GBs per step.
+    sow_blocks: Optional[Tuple[int, ...]] = flax.struct.field(
+        pytree_node=False, default=None
+    )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -333,7 +340,7 @@ class UNetModel(nn.Module):
                   image_only_indicator=image_only_indicator)
             return ResBlock(out_channels=spec["ch"], dtype=dt, name=idx_name)(h, emb)
 
-        def attn_block(idx_name, spec, h, mod, inj):
+        def attn_block(idx_name, spec, h, mod, inj, sow=True):
             heads = spec["ch"] // cfg.num_head_channels
             depth = cfg.depth_for_level(spec.get("level", 0))
             if cfg.video:
@@ -344,6 +351,7 @@ class UNetModel(nn.Module):
                     merge_strategy=cfg.merge_strategy,
                     merge_factor=cfg.merge_factor,
                     dtype=dt,
+                    sow_qk=sow,
                     name=idx_name,
                 )(h, context=context, timesteps=num_video_frames,
                   image_only_indicator=image_only_indicator,
@@ -353,6 +361,7 @@ class UNetModel(nn.Module):
                 dim_head=cfg.num_head_channels,
                 depth=depth,
                 dtype=dt,
+                sow_qk=sow,
                 name=idx_name,
             )(
                 h, context=context,
@@ -373,11 +382,17 @@ class UNetModel(nn.Module):
                 h = res_block(f"input_blocks_{i}_0", spec, h)
                 if spec.get("attn"):
                     inj = hooks.input_inj.get(i)
-                    h = attn_block(f"input_blocks_{i}_1", spec, h, None, inj)
+                    h = attn_block(
+                        f"input_blocks_{i}_1", spec, h, None, inj,
+                        sow=hooks.sow_blocks is None,
+                    )
             hs.append(h)
 
         h = res_block("middle_block_0", dict(ch=middle["ch"]), h)
-        h = attn_block("middle_block_1", middle, h, None, None)
+        h = attn_block(
+            "middle_block_1", middle, h, None, None,
+            sow=hooks.sow_blocks is None,
+        )
         h = res_block("middle_block_2", dict(ch=middle["ch"]), h)
 
         for i, spec in enumerate(output_blocks):
@@ -386,7 +401,10 @@ class UNetModel(nn.Module):
             if spec.get("attn"):
                 mod = hooks.output_mod.get(i)
                 inj = hooks.output_inj.get(i)
-                h = attn_block(f"output_blocks_{i}_1", spec, h, mod, inj)
+                h = attn_block(
+                    f"output_blocks_{i}_1", spec, h, mod, inj,
+                    sow=hooks.sow_blocks is None or i in hooks.sow_blocks,
+                )
             if spec.get("up"):
                 pos = 2 if spec.get("attn") else 1
                 h = Upsample(out_channels=spec["ch"], dtype=dt, name=f"output_blocks_{i}_{pos}")(h)

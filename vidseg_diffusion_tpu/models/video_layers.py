@@ -47,6 +47,7 @@ class VideoTransformerBlock(nn.Module):
     dim_head: int
     ff_in: bool = True
     dtype: jnp.dtype = jnp.float32
+    sow_qk: bool = True
 
     @nn.compact
     def __call__(
@@ -71,7 +72,8 @@ class VideoTransformerBlock(nn.Module):
             x = x + x_skip  # is_res: inner_dim == dim
 
         a1 = CrossAttention(
-            heads=self.heads, dim_head=self.dim_head, dtype=self.dtype, name="attn1"
+            heads=self.heads, dim_head=self.dim_head, dtype=self.dtype,
+            sow_qk=self.sow_qk, name="attn1"
         )(
             nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x),
             context=None,
@@ -82,7 +84,8 @@ class VideoTransformerBlock(nn.Module):
         x = a1 + x
 
         a2 = CrossAttention(
-            heads=self.heads, dim_head=self.dim_head, dtype=self.dtype, name="attn2"
+            heads=self.heads, dim_head=self.dim_head, dtype=self.dtype,
+            sow_qk=self.sow_qk, name="attn2"
         )(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x), context=context)
         if modulation is not None and modulation.cross_attn is not None:
             a2 = modulation.cross_attn.temporal_add(a2)
@@ -133,6 +136,7 @@ class SpatialVideoTransformer(nn.Module):
     merge_factor: float = 0.5
     max_time_embed_period: int = 10000
     dtype: jnp.dtype = jnp.float32
+    sow_qk: bool = True
 
     @nn.compact
     def __call__(
@@ -176,6 +180,7 @@ class SpatialVideoTransformer(nn.Module):
                 heads=self.heads,
                 dim_head=self.dim_head,
                 dtype=self.dtype,
+                sow_qk=self.sow_qk,
                 name=f"transformer_blocks_{d}",
             )(
                 x,
@@ -190,6 +195,7 @@ class SpatialVideoTransformer(nn.Module):
                 dim_head=self.dim_head,
                 ff_in=True,
                 dtype=self.dtype,
+                sow_qk=self.sow_qk,
                 name=f"time_stack_{d}",
             )(
                 x_mix,

@@ -303,6 +303,7 @@ def run_single_video(
             return {k: jnp.repeat(v, t, axis=0) for k, v in d.items()}
 
         c, uc = per_frame(c1), per_frame(uc1)
+        _mark("conditioning", *c.values(), *uc.values())
     else:
         assert text_tokens is not None, "SD path needs tokenized text"
         empty = jnp.asarray(text_tokens)  # [1, 77] empty-prompt tokens
@@ -317,6 +318,7 @@ def run_single_video(
         min(args.modulate_timestep) if args.inversion_type == "add_noise" else 0
     )
     latent = fs.encode(frames_j, rng=None, chunk=args.decoding_t)
+    _mark("encode", latent)
     r_noise = jax.random.fold_in(rng, 2)
     if args.inversion_type == "add_noise":
         noised = jax.jit(
@@ -336,7 +338,7 @@ def run_single_video(
         ),
         static_argnames=(),
     )(pipeline.unet_params, latent, noised, r_noise)
-    _mark("encode+feature_pass", x0)
+    _mark("feature_pass", x0)
 
     # ---- step 3: masks ------------------------------------------------------
     feat_t = args.feature_timestep[0]
