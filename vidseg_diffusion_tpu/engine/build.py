@@ -107,16 +107,24 @@ class Pipeline:
     first_stage: FirstStage
     conditioner: Optional[Conditioner]
     clip_apply: Optional[Any] = None  # image or text tower apply fn
+    # engine cache: the SAME engine instance must be returned for identical
+    # (mod_cfg, harvest) so the engine's cached jit wrappers survive across
+    # run_single_video calls (fresh wrappers re-trace + re-load the compiled
+    # 1.5B-param executables from the persistent cache every run)
+    _engines: dict = dataclasses.field(default_factory=dict, repr=False)
 
     def make_engine(self, mod_cfg: ModulationConfig, harvest: HarvestSpec) -> VidSegEngine:
-        return VidSegEngine(
-            unet=self.unet,
-            denoiser=self.spec.denoiser,
-            sampler=self.spec.sampler,
-            guider=self.spec.guider,
-            mod_cfg=mod_cfg,
-            harvest=harvest,
-        )
+        key = (mod_cfg, harvest)
+        if key not in self._engines:
+            self._engines[key] = VidSegEngine(
+                unet=self.unet,
+                denoiser=self.spec.denoiser,
+                sampler=self.spec.sampler,
+                guider=self.spec.guider,
+                mod_cfg=mod_cfg,
+                harvest=harvest,
+            )
+        return self._engines[key]
 
 
 def build_pipeline(

@@ -194,6 +194,79 @@ class VidSegEngine:
 
         return denoise_fn
 
+    # -- engine-lifetime jitted entry points -----------------------------------
+    # jax.jit wrappers must NOT be rebuilt per pipeline call: a fresh wrapper
+    # re-traces and re-loads the compiled 1.5B-param executable from the
+    # persistent cache every run (tens of seconds of jitter per stage,
+    # r2 swan measurements). cached_property pins them to the engine, and
+    # Pipeline.make_engine caches engines by (mod_cfg, harvest).
+
+    @functools.cached_property
+    def jit_add_noise(self):
+        def f(latent, rng, *, noise_level):
+            return self.sampler.add_noise(rng, latent, noise_level=noise_level)
+
+        return jax.jit(f, static_argnames=("noise_level",))
+
+    @functools.cached_property
+    def jit_invert(self):
+        return jax.jit(
+            lambda params, latent, c, uc: self.invert(params, latent, c, uc)
+        )
+
+    @functools.cached_property
+    def jit_xt_cache(self):
+        def f(params, latent, c, uc, rng, pre_noised, *, t_start):
+            return self.xt_cache_pass(
+                params, latent, c, uc, rng, t_start, pre_noised=pre_noised
+            )
+
+        return jax.jit(f, static_argnames=("t_start",))
+
+    @functools.cached_property
+    def jit_mod_step(self):
+        cfg = self.mod_cfg
+        sampler = self.sampler
+        b_start, b_end = cfg.blend_window()
+        blend = cfg.is_latent_blending
+
+        # params / cache / conds are ARGUMENTS, not closures: closed-over
+        # concrete arrays become giant embedded constants (1.5B params +
+        # the GB-scale feature cache) that multiply compile time ~10×.
+        def step_impl(params_, cache_, c_, uc_, x, i, sigma, next_sigma,
+                      masks_tok, masks_lat, lam):
+            hooks_fn = self._build_hooks_fn(masks_tok, lam, cache_)
+            denoise_fn = self._denoise_fn(
+                params_, c_, uc_, cfg.num_frames, hooks_fn=hooks_fn, collect=False
+            )
+            x, _ = sampler.step(denoise_fn, x, sigma, next_sigma, i)
+            if blend and "xt" in cache_:
+                mlat = masks_lat[:, :, :, None]
+                gate = (i >= b_start) & (i <= b_end)
+                blended = x * mlat + cache_["xt"][i].astype(x.dtype) * (1.0 - mlat)
+                x = jnp.where(gate, blended, x)
+            return x
+
+        return jax.jit(step_impl)
+
+    @functools.cached_property
+    def jit_run_one(self):
+        def f(p_, n_, c_, u_, k_, mt, ml, sg, *, t_start):
+            return self.modulated_run(p_, n_, c_, u_, mt, ml, sg, k_, t_start)
+
+        return jax.jit(f, static_argnames=("t_start",))
+
+    @functools.cached_property
+    def jit_run_vmapped(self):
+        def f(p_, n_, c_, u_, k_, mt, ml, sg, *, t_start):
+            return jax.vmap(
+                lambda mt_, ml_, sg_: self.modulated_run(
+                    p_, n_, c_, u_, mt_, ml_, sg_, k_, t_start
+                )
+            )(mt, ml, sg)
+
+        return jax.jit(f, static_argnames=("t_start",))
+
     # -- step 1+2: noise + feature pass ---------------------------------------
 
     def feature_pass(
@@ -497,30 +570,8 @@ class VidSegEngine:
         cfg = self.mod_cfg
         sampler = self.sampler
         sigmas = sampler.sigmas()
-        b_start, b_end = cfg.blend_window()
-        blend = cfg.is_latent_blending
-
-        # params / cache / conds are ARGUMENTS, not closures: closed-over
-        # concrete arrays become giant embedded constants (1.5B params +
-        # the GB-scale feature cache) that multiply compile time ~10×.
-        def step_impl(params_, cache_, c_, uc_, x, i, sigma, next_sigma,
-                      masks_tok, masks_lat, lam):
-            hooks_fn = self._build_hooks_fn(masks_tok, lam, cache_)
-            denoise_fn = self._denoise_fn(
-                params_, c_, uc_, cfg.num_frames, hooks_fn=hooks_fn, collect=False
-            )
-            x, _ = sampler.step(denoise_fn, x, sigma, next_sigma, i)
-            if blend and "xt" in cache_:
-                mlat = masks_lat[:, :, :, None]
-                gate = (i >= b_start) & (i <= b_end)
-                blended = x * mlat + cache_["xt"][i].astype(x.dtype) * (1.0 - mlat)
-                x = jnp.where(gate, blended, x)
-            return x
-
-        jit_step = jax.jit(step_impl)
-
         def step_fn(x, i, sigma, next_sigma, masks_tok, masks_lat, lam):
-            return jit_step(
+            return self.jit_mod_step(
                 params, cache, c, uc, x, i, sigma, next_sigma,
                 masks_tok, masks_lat, lam,
             )
@@ -576,35 +627,29 @@ class VidSegEngine:
         # embed as compile-time constants and explode compile time)
         if chunk == 1:
             # no vmap layer — smaller program, same math
-            one = jax.jit(
-                lambda p_, n_, c_, u_, k_, mt, ml, sg: self.modulated_run(
-                    p_, n_, c_, u_, mt, ml, sg, k_, t_start
-                )
-            )
             outs = []
             for i in range(total):
                 outs.append(
-                    one(params, noised, c, uc, cache,
-                        run_masks_t[i], run_masks_l[i], run_signs[i])
+                    self.jit_run_one(
+                        params, noised, c, uc, cache,
+                        run_masks_t[i], run_masks_l[i], run_signs[i],
+                        t_start=t_start,
+                    )
                 )
                 if progress is not None:
                     progress(i + 1, total)
             out = jnp.stack(outs)
         else:
-            one = jax.jit(
-                lambda p_, n_, c_, u_, k_, mt, ml, sg: jax.vmap(
-                    lambda mt_, ml_, sg_: self.modulated_run(
-                        p_, n_, c_, u_, mt_, ml_, sg_, k_, t_start
-                    )
-                )(mt, ml, sg)
-            )
             outs = []
             n_chunks = total // chunk
             for i in range(n_chunks):
                 s = slice(i * chunk, (i + 1) * chunk)
                 outs.append(
-                    one(params, noised, c, uc, cache,
-                        run_masks_t[s], run_masks_l[s], run_signs[s])
+                    self.jit_run_vmapped(
+                        params, noised, c, uc, cache,
+                        run_masks_t[s], run_masks_l[s], run_signs[s],
+                        t_start=t_start,
+                    )
                 )
                 if progress is not None:
                     progress(i + 1, n_chunks)

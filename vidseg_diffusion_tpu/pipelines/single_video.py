@@ -321,23 +321,17 @@ def run_single_video(
     _mark("encode", latent)
     r_noise = jax.random.fold_in(rng, 2)
     if args.inversion_type == "add_noise":
-        noised = jax.jit(
-            lambda l, r: engine.sampler.add_noise(r, l, noise_level=t_start_feat)
-        )(latent, r_noise)
+        noised = engine.jit_add_noise(latent, r_noise, noise_level=t_start_feat)
     elif args.inversion_type == "inversion":
         # full DDIM inversion over the flipped σ schedule
         # (svd_single_video_inference.py:341-342)
-        noised = jax.jit(lambda p, l: engine.invert(p, l, c, uc))(
-            pipeline.unet_params, latent
-        )
+        noised = engine.jit_invert(pipeline.unet_params, latent, c, uc)
     else:
         raise ValueError(f"Invalid inversion type {args.inversion_type}")
-    x0, cache = jax.jit(
-        lambda p, l, n, r: engine.xt_cache_pass(
-            p, l, c, uc, r, t_start_feat, pre_noised=n
-        ),
-        static_argnames=(),
-    )(pipeline.unet_params, latent, noised, r_noise)
+    x0, cache = engine.jit_xt_cache(
+        pipeline.unet_params, latent, c, uc, r_noise, noised,
+        t_start=t_start_feat,
+    )
     _mark("feature_pass", x0)
 
     # ---- step 3: masks ------------------------------------------------------
@@ -449,14 +443,10 @@ def run_single_video(
     if use_mesh:
         decoded = _decode_runs_sharded(fs, flat, args.decoding_t, mesh)
     else:
-        # decoder params as arguments (not embedded constants)
-        decode_run = jax.jit(
-            lambda dp, z: dataclasses.replace(fs, params_decoder=dp).decode(
-                z, chunk=args.decoding_t
-            )
-        )
+        # FirstStage.decode dispatches through module-level jitted applies
+        # (params as arguments), so no per-call jit wrapper is needed here
         decoded = jnp.stack(
-            [decode_run(fs.params_decoder, flat[i]) for i in range(flat.shape[0])]
+            [fs.decode(flat[i], chunk=args.decoding_t) for i in range(flat.shape[0])]
         )
     decoded = decoded.reshape(finals.shape[:2] + decoded.shape[1:])
     decoded = jnp.clip((decoded + 1.0) / 2.0, 0.0, 1.0) * 255.0
