@@ -443,11 +443,10 @@ def run_single_video(
     if use_mesh:
         decoded = _decode_runs_sharded(fs, flat, args.decoding_t, mesh)
     else:
-        # FirstStage.decode dispatches through module-level jitted applies
-        # (params as arguments), so no per-call jit wrapper is needed here
-        decoded = jnp.stack(
-            [fs.decode(flat[i], chunk=args.decoding_t) for i in range(flat.shape[0])]
-        )
+        decoded = jnp.stack([
+            fs.jit_decode(fs.params_decoder, flat[i], chunk=args.decoding_t)
+            for i in range(flat.shape[0])
+        ])
     decoded = decoded.reshape(finals.shape[:2] + decoded.shape[1:])
     decoded = jnp.clip((decoded + 1.0) / 2.0, 0.0, 1.0) * 255.0
     _mark("decode", decoded)
