@@ -29,6 +29,9 @@ def main():
     p.add_argument("--num_steps", type=int, default=25)
     p.add_argument("--decoding_t", type=int, default=1)
     p.add_argument("--repeats", type=int, default=2)
+    p.add_argument("--injected", action="store_true",
+                   help="--is_injected_features (temporal q/k cache + injection)")
+    p.add_argument("--refine", action="store_true", help="--is_refine_mask")
     args = p.parse_args()
 
     os.makedirs(".jax_cache", exist_ok=True)
@@ -69,6 +72,8 @@ def main():
         decoding_t=args.decoding_t,
         feature_folder="/tmp/swan_bench_out",
         is_latent_blending=True,
+        is_injected_features=args.injected,
+        is_refine_mask=args.refine,
     )
     # warm (compile) run
     t0 = time.perf_counter()
