@@ -160,7 +160,8 @@ assert dpm > 1e-3
 
 # blending pins outside-mask to cached trajectory
 m0 = masks_latent[0][..., None]
-outside = jnp.abs((finals[0, 0] - cache["xt"][NUM_STEPS - 1]) * (1 - m0))
+# caches are windowed from t0 (engine cache contract)
+outside = jnp.abs((finals[0, 0] - cache["xt"][NUM_STEPS - 1 - int(cache["t0"])]) * (1 - m0))
 assert float(outside.max()) < 1e-4, outside.max()
 
 # --- decode + step 5 -----------------------------------------------------------

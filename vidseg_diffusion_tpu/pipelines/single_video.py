@@ -335,9 +335,11 @@ def run_single_video(
     _mark("feature_pass", x0)
 
     # ---- step 3: masks ------------------------------------------------------
+    # caches are windowed from t0 (engine xt_cache_pass docstring)
+    cache_t0 = int(cache.get("t0", 0))
     feat_t = args.feature_timestep[0]
     feats = [
-        cache[HarvestSpec.name(b, "spatial_self", "q")][feat_t]
+        cache[HarvestSpec.name(b, "spatial_self", "q")][feat_t - cache_t0]
         for b in cluster_blocks
     ]
     feat = jnp.mean(jnp.stack(feats), axis=0) if len(feats) > 1 else feats[0]
@@ -367,7 +369,7 @@ def run_single_video(
 
     if args.is_refine_mask:
         tb = track_blocks[0]
-        track_feat = cache[HarvestSpec.name(tb, "spatial_self", "q")][feat_t]
+        track_feat = cache[HarvestSpec.name(tb, "spatial_self", "q")][feat_t - cache_t0]
         tdiv = track_div[tb]
         track_masks = masks_tok
         if tdiv != div:  # tracking block at a different token resolution
