@@ -79,3 +79,30 @@ def test_orbax_param_roundtrip(tiny_pipeline, tmp_path):
     assert len(flat_a) == len(flat_b)
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_host_offloaded_injection_matches_device(tiny_pipeline, tmp_path):
+    """injected_cache_budget_gb=0 forces the per-step host→HBM streaming
+    path; segmentation must be bit-identical to the on-device cache path
+    (mesh off so both use host dispatches)."""
+    rng = np.random.RandomState(1)
+    frames = (rng.rand(3, 64, 64, 3).astype(np.float32) * 2 - 1)
+    names = ["0", "1", "2"]
+    base = dict(
+        exp_name="inj", num_steps=6, num_masks=2, modulate_timestep=(3,),
+        feature_timestep=(5,), mesh="off", is_injected_features=True,
+        modulate_layer_type=("spatial", "temporal"),
+        modulate_attn_type=("self_attn",),
+        feature_folder=str(tmp_path),
+    )
+    on_dev = run_single_video(
+        tiny_pipeline, frames, names,
+        VidSegArgs(**base, runs_chunk=1), write_outputs=False,
+    )
+    offload = run_single_video(
+        tiny_pipeline, frames, names,
+        VidSegArgs(**base, runs_chunk=1, injected_cache_budget_gb=0.0),
+        write_outputs=False,
+    )
+    np.testing.assert_array_equal(on_dev.seg_raw, offload.seg_raw)
+    np.testing.assert_array_equal(on_dev.masks, offload.masks)

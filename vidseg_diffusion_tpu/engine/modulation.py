@@ -121,6 +121,12 @@ class ModulationConfig:
             self.is_injected_features
         )
 
+    def inject_step_static(self, i: int) -> bool:
+        """Python-level inject gate for host-stepped dispatch (same rule as
+        inject_gate_for_step: i >= min(modulate_timestep),
+        sampling.py:185-194)."""
+        return self.is_injected_features and i >= min(self.modulate_timestep)
+
     def blend_window(self) -> Tuple[int, int]:
         start = (
             self.latent_mask_start

@@ -251,6 +251,37 @@ class VidSegEngine:
         return jax.jit(step_impl)
 
     @functools.cached_property
+    def jit_mod_step_sliced(self):
+        """jit_mod_step variant for host-offloaded injected caches: the
+        big per-step q/k slices arrive pre-selected (streamed from host RAM
+        each step), only the small xt/t0 cache lives on device. v5e HBM
+        (16 GB) cannot hold the full injected cache (~8.7 GB windowed at
+        swan scale) next to the 3 GB params and the runs working set."""
+        cfg = self.mod_cfg
+        sampler = self.sampler
+        b_start, b_end = cfg.blend_window()
+        blend = cfg.is_latent_blending
+
+        def step_impl(params_, dev_cache_, step_inj_, c_, uc_, x, i, sigma,
+                      next_sigma, masks_tok, masks_lat, lam):
+            hooks_fn = self._build_hooks_fn(
+                masks_tok, lam, step_inj_, sliced=True
+            )
+            denoise_fn = self._denoise_fn(
+                params_, c_, uc_, cfg.num_frames, hooks_fn=hooks_fn, collect=False
+            )
+            x, _ = sampler.step(denoise_fn, x, sigma, next_sigma, i)
+            if blend and "xt" in dev_cache_:
+                mlat = masks_lat[:, :, :, None]
+                gate = (i >= b_start) & (i <= b_end)
+                ori = _cache_step(dev_cache_, "xt", i)
+                blended = x * mlat + ori.astype(x.dtype) * (1.0 - mlat)
+                x = jnp.where(gate, blended, x)
+            return x
+
+        return jax.jit(step_impl)
+
+    @functools.cached_property
     def jit_run_one(self):
         def f(p_, n_, c_, u_, k_, mt, ml, sg, *, t_start):
             return self.modulated_run(p_, n_, c_, u_, mt, ml, sg, k_, t_start)
@@ -359,6 +390,7 @@ class VidSegEngine:
         masks_tokens: jnp.ndarray,  # [T, L_block] at the modulated block's res
         lam: jnp.ndarray,           # [T] signed per-frame λ
         cache: Optional[Dict[str, jnp.ndarray]],
+        sliced: bool = False,       # cache entries already selected per step
     ) -> Callable[[jnp.ndarray], UNetHooks]:
         cfg = self.mod_cfg
         step_frames = cfg.step_frame_table()  # [S, T] bool
@@ -391,7 +423,7 @@ class VidSegEngine:
                 gate = cfg.inject_gate_for_step(i)
                 for b in cfg.output_block_indices:
                     site = _injection_site_for_block(
-                        b, cache, i, gate, video, self.harvest
+                        b, cache, None if sliced else i, gate, video, self.harvest
                     )
                     if site is not None:
                         output_inj[b] = site
@@ -557,19 +589,41 @@ class VidSegEngine:
         cache: Dict[str, jnp.ndarray],
         t_start: int,
         progress: Optional[Callable[[int, int], None]] = None,
+        host_inj: Optional[Dict] = None,  # injected q/k kept in HOST RAM
     ) -> jnp.ndarray:
         """Runs grid with host-level stepping: ONE jitted program = one
         Euler step (UNet forward + modulation + blending), reused across all
         steps and all (mask, ±λ) runs via traced arguments. The smallest
         possible compile unit — the scan-over-steps variants compile a much
         larger program (which the constrained local compile helper cannot
-        always finish for the full-size UNet)."""
+        always finish for the full-size UNet).
+
+        host_inj: numpy arrays [W, ...] windowed at cache['t0']; each
+        injected step's slice streams host→HBM on demand so the full
+        injected cache never resides in device memory."""
         cfg = self.mod_cfg
         sampler = self.sampler
         sigmas = sampler.sigmas()
+        t0 = int(cache.get("t0", 0))
+        inject_steps = set()
+        if host_inj:
+            inject_steps = {
+                i for i in range(t_start, sampler.num_steps)
+                if cfg.inject_step_static(i)
+            }
+
         def step_fn(x, i, sigma, next_sigma, masks_tok, masks_lat, lam):
+            ii = int(i)
+            if host_inj is not None and ii in inject_steps:
+                step_inj = {
+                    name: jnp.asarray(arr[ii - t0]) for name, arr in host_inj.items()
+                }
+                return self.jit_mod_step_sliced(
+                    params, cache, step_inj, c, uc, x, jnp.asarray(ii),
+                    sigma, next_sigma, masks_tok, masks_lat, lam,
+                )
             return self.jit_mod_step(
-                params, cache, c, uc, x, i, sigma, next_sigma,
+                params, cache, c, uc, x, jnp.asarray(ii), sigma, next_sigma,
                 masks_tok, masks_lat, lam,
             )
 
@@ -584,7 +638,7 @@ class VidSegEngine:
                 x = x0
                 for i in range(t_start, sampler.num_steps):
                     x = step_fn(
-                        x, jnp.asarray(i), sigmas[i], sigmas[i + 1],
+                        x, i, sigmas[i], sigmas[i + 1],
                         masks_tokens[mi], masks_latent[mi], lam,
                     )
                 outs.append(x)
@@ -682,6 +736,8 @@ def _injection_site_for_block(
         name = HarvestSpec.name(block, site, tensor)
         if name not in cache:
             return None
+        if i is None:  # pre-sliced per-step cache (host-offload streaming)
+            return cache[name]
         return _cache_step(cache, name, i)
 
     if video:

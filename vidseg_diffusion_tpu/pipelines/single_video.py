@@ -72,6 +72,10 @@ class VidSegArgs:
     feature_folder: str = "features_outputs"
     inversion_type: str = "add_noise"
     runs_chunk: int = 2
+    # injected q/k caches larger than this stay in HOST RAM and stream per
+    # step (v5e 16 GB cannot hold the ~8.7 GB swan-scale injected cache next
+    # to the 3 GB params + runs working set)
+    injected_cache_budget_gb: float = 6.0
     # multi-chip dispatch: "auto" shards the (mask, ±λ) runs grid + decode
     # over a 'runs' device mesh whenever >1 device is visible; "off" forces
     # the single-chip host-dispatch paths; "runs" forces the mesh
@@ -410,10 +414,25 @@ def run_single_video(
         if args.modulate_t_start is not None
         else max(0, min(args.modulate_timestep) - 3)
     )
+
+    use_mesh = args.mesh == "runs" or (args.mesh == "auto" and jax.device_count() > 1)
+
+    # host-offload oversized injected caches (streamed per step). Not
+    # applied on the runs mesh: the sharded dispatch needs the cache
+    # replicated on device (multi-chip HBM is 8x anyway).
+    host_inj = None
+    if args.is_injected_features and not use_mesh:
+        inj_names = [
+            n for n in cache if n not in ("xt", "t0")
+            and n not in {HarvestSpec.name(b, "spatial_self", "q") for b in cluster_blocks}
+        ]
+        inj_bytes = sum(cache[n].nbytes for n in inj_names)
+        if inj_bytes > args.injected_cache_budget_gb * 1e9:
+            host_inj = {n: np.asarray(cache[n]) for n in inj_names}
+            cache = {n: v for n, v in cache.items() if n not in host_inj}
     # step 4 reuses the step-1 latent (add_noise output or inversion output;
     # the reference passes the same `latent` to every sample_video call,
     # svd_single_video_inference.py:497)
-    use_mesh = args.mesh == "runs" or (args.mesh == "auto" and jax.device_count() > 1)
     mesh = None
     if use_mesh:
         from vidseg_diffusion_tpu.parallel.mesh import make_mesh
@@ -423,12 +442,13 @@ def run_single_video(
             pipeline.unet_params, noised, c, uc, masks_block, masks_latent,
             cache, t_start_mod, mesh=mesh,
         )
-    elif args.runs_chunk <= 1:
+    elif args.runs_chunk <= 1 or host_inj is not None:
         # smallest compile unit: one jitted Euler step reused across all
-        # steps and runs (see modulated_runs_host_stepped)
+        # steps and runs (see modulated_runs_host_stepped); also the only
+        # dispatch that can stream a host-offloaded injected cache
         finals = engine.modulated_runs_host_stepped(
             pipeline.unet_params, noised, c, uc, masks_block, masks_latent,
-            cache, t_start_mod,
+            cache, t_start_mod, host_inj=host_inj,
         )
     else:
         finals = engine.modulated_runs_host_chunked(
