@@ -282,6 +282,68 @@ class VidSegEngine:
         return jax.jit(step_impl)
 
     @functools.cached_property
+    def jit_feat_step(self):
+        """One harvesting Euler step for the host-stepped feature pass:
+        returns (x_next, aux) so each step's harvest can leave HBM before
+        the next step runs — the one-scan feature pass would otherwise hold
+        the full injected cache (~8.7 GB at swan scale) on device."""
+        cfg = self.mod_cfg
+        sampler = self.sampler
+
+        def f(params_, c_, uc_, x, i, sigma, next_sigma):
+            denoise_fn = self._denoise_fn(
+                params_, c_, uc_, cfg.num_frames, collect=True
+            )
+            xn, aux = sampler.step(denoise_fn, x, sigma, next_sigma, i)
+            aux = dict(aux)
+            aux["xt"] = xn
+            return xn, aux
+
+        return jax.jit(f)
+
+    def xt_cache_pass_host(
+        self,
+        params,
+        latent: jnp.ndarray,
+        c: Cond,
+        uc: Cond,
+        rng: jax.Array,
+        t_start: int,
+        pre_noised: Optional[jnp.ndarray] = None,
+        host_names: Sequence[str] = (),
+    ):
+        """xt_cache_pass with host-level stepping: entries named in
+        `host_names` are copied to host RAM as they are produced (numpy
+        [W, ...] arrays in the returned second dict); everything else is
+        stacked on device. Same cache contract ('t0' window origin).
+        Returns (x0, device_cache, host_cache)."""
+        cfg = self.mod_cfg
+        if pre_noised is not None:
+            noised = pre_noised
+        else:
+            noised = self.sampler.add_noise(rng, latent, noise_level=t_start)
+        sigmas = self.sampler.sigmas()
+        x = self.sampler.prescale(noised, sigmas)
+        dev_steps: Dict[str, list] = {}
+        host_steps: Dict[str, list] = {}
+        import numpy as np
+
+        for i in range(t_start, self.sampler.num_steps):
+            x, aux = self.jit_feat_step(
+                params, c, uc, x, jnp.asarray(i), sigmas[i], sigmas[i + 1]
+            )
+            for name, arr in aux.items():
+                if name in host_names:
+                    host_steps.setdefault(name, []).append(np.asarray(arr))
+                    del arr
+                else:
+                    dev_steps.setdefault(name, []).append(arr)
+        dev_cache = {n: jnp.stack(v) for n, v in dev_steps.items()}
+        dev_cache["t0"] = jnp.asarray(t_start, jnp.int32)
+        host_cache = {n: np.stack(v) for n, v in host_steps.items()}
+        return x, dev_cache, host_cache
+
+    @functools.cached_property
     def jit_run_one(self):
         def f(p_, n_, c_, u_, k_, mt, ml, sg, *, t_start):
             return self.modulated_run(p_, n_, c_, u_, mt, ml, sg, k_, t_start)

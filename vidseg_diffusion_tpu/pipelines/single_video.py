@@ -332,10 +332,39 @@ def run_single_video(
         noised = engine.jit_invert(pipeline.unet_params, latent, c, uc)
     else:
         raise ValueError(f"Invalid inversion type {args.inversion_type}")
-    x0, cache = engine.jit_xt_cache(
-        pipeline.unet_params, latent, c, uc, r_noise, noised,
-        t_start=t_start_feat,
-    )
+    # decide up front whether the injected cache must live in host RAM:
+    # the one-scan feature pass materializes its whole output on device, so
+    # oversized caches must stream out per step (xt_cache_pass_host)
+    use_mesh = args.mesh == "runs" or (args.mesh == "auto" and jax.device_count() > 1)
+    host_names: Tuple[str, ...] = ()
+    if args.is_injected_features and not use_mesh:
+        itemsize = jnp.dtype(unet_cfg.dtype).itemsize
+        w_steps = args.num_steps - t_start_feat
+        cluster_names = {
+            HarvestSpec.name(b, "spatial_self", "q") for b in cluster_blocks
+        }
+        est = {}
+        for b, site, tensor in engine.harvest.entries:
+            name = HarvestSpec.name(b, site, tensor)
+            if name in cluster_names:
+                continue
+            ds = out_layout[b]["ds"]
+            tokens = (h_lat // ds) * (w_lat // ds)
+            est[name] = w_steps * 2 * t * tokens * out_layout[b]["ch"] * itemsize
+        if sum(est.values()) > args.injected_cache_budget_gb * 1e9:
+            host_names = tuple(sorted(est))
+
+    host_inj = None
+    if host_names:
+        x0, cache, host_inj = engine.xt_cache_pass_host(
+            pipeline.unet_params, latent, c, uc, r_noise, t_start_feat,
+            pre_noised=noised, host_names=host_names,
+        )
+    else:
+        x0, cache = engine.jit_xt_cache(
+            pipeline.unet_params, latent, c, uc, r_noise, noised,
+            t_start=t_start_feat,
+        )
     _mark("feature_pass", x0)
 
     # ---- step 3: masks ------------------------------------------------------
@@ -415,21 +444,7 @@ def run_single_video(
         else max(0, min(args.modulate_timestep) - 3)
     )
 
-    use_mesh = args.mesh == "runs" or (args.mesh == "auto" and jax.device_count() > 1)
 
-    # host-offload oversized injected caches (streamed per step). Not
-    # applied on the runs mesh: the sharded dispatch needs the cache
-    # replicated on device (multi-chip HBM is 8x anyway).
-    host_inj = None
-    if args.is_injected_features and not use_mesh:
-        inj_names = [
-            n for n in cache if n not in ("xt", "t0")
-            and n not in {HarvestSpec.name(b, "spatial_self", "q") for b in cluster_blocks}
-        ]
-        inj_bytes = sum(cache[n].nbytes for n in inj_names)
-        if inj_bytes > args.injected_cache_budget_gb * 1e9:
-            host_inj = {n: np.asarray(cache[n]) for n in inj_names}
-            cache = {n: v for n, v in cache.items() if n not in host_inj}
     # step 4 reuses the step-1 latent (add_noise output or inversion output;
     # the reference passes the same `latent` to every sample_video call,
     # svd_single_video_inference.py:497)
