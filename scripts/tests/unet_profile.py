@@ -77,36 +77,48 @@ def main():
     print("wrote PROFILE_UNET.json", file=sys.stderr)
 
 
-def parse_top_ops(logdir, n=25):
-    """Top self-time HLO ops from the xprof trace via the tensorboard
-    profile plugin's converters (no TensorBoard server needed)."""
+def parse_top_ops(logdir, n=20, iters=2):
+    """Top HLO-op groups by device time, parsed directly from the xplane
+    protobuf (the tensorboard profile plugin's generated protos are
+    incompatible with this protobuf install). Fusion instances are
+    collapsed by base name; note that on TPU XLA fuses GroupNorm statistics
+    into the PRECEDING convolution, so 'convert_reduce_fusion' rows are
+    conv+stats kernels, not standalone norms."""
+    import collections
+
     try:
-        from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
     except ImportError:
-        print("tensorboard_plugin_profile not available", file=sys.stderr)
+        print("xplane_pb2 unavailable", file=sys.stderr)
         return None
     xplanes = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True)
     if not xplanes:
         return None
-    xplane = sorted(xplanes)[-1]
-    try:
-        data, _ = rtd.xspace_to_tool_data([xplane], "framework_op_stats", {})
-    except Exception as e:
-        print(f"op-stats conversion failed: {e}", file=sys.stderr)
+    xs = xplane_pb2.XSpace()
+    xs.ParseFromString(open(sorted(xplanes)[-1], "rb").read())
+    planes = [pl for pl in xs.planes if "TPU" in pl.name]
+    if not planes:
         return None
-    if isinstance(data, bytes):
-        try:
-            data = gzip.decompress(data)
-        except OSError:
-            pass
-        data = data.decode("utf-8", errors="replace")
-    try:
-        rows = json.loads(data)
-    except json.JSONDecodeError:
-        print("unexpected op-stats payload", file=sys.stderr)
-        return None
-    # payload: list of tables; first table rows = op stats
-    return rows[:n] if isinstance(rows, list) else rows
+    md = planes[0].event_metadata
+    agg = collections.Counter()
+    cnt = collections.Counter()
+    for line in planes[0].lines:
+        if line.name != "XLA Ops":
+            continue
+        for ev in line.events:
+            base = md[ev.metadata_id].name.split(".")[0].split(" ")[0]
+            if base.startswith("%while"):
+                continue  # nests all children
+            agg[base] += ev.duration_ps
+            cnt[base] += 1
+    return [
+        {
+            "op": name,
+            "ms_per_step": round(t / 1e9 / iters, 2),
+            "count_per_step": cnt[name] // iters,
+        }
+        for name, t in agg.most_common(n)
+    ]
 
 
 if __name__ == "__main__":
