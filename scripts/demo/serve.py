@@ -51,7 +51,8 @@ img {{ max-width: 100%; border: 1px solid #ccc; margin-top: 1em; }}
 
 
 class DemoApp:
-    def __init__(self, config: str, ckpt=None, default_size: int = 512):
+    def __init__(self, config: str, ckpt=None, default_size: int = 512,
+                 init_root: str = "."):
         import jax  # noqa: F401  (defer heavy imports to startup)
 
         from vidseg_diffusion_tpu.engine.build import build_pipeline
@@ -62,6 +63,7 @@ class DemoApp:
         self.default_size = default_size
         self.lock = threading.Lock()
         self.bpe_path = None  # default vocab resolution (io/tokenizer.py)
+        self.init_root = init_root
 
     def _tokens(self, text: str, batch: int = 1):
         from vidseg_diffusion_tpu.io.tokenizer import tokenize, tokenize_empty
@@ -88,6 +90,17 @@ class DemoApp:
         tokens = self._tokens(form.get("prompt", ""))
         neg = self._tokens(form.get("negative", ""))
         init_path = form.get("init_path", "").strip()
+        if init_path:
+            # remote clients may only name files under the allowed root
+            # (default CWD): the field is otherwise an arbitrary-path read
+            # primitive into PIL for anyone who can reach the socket
+            root = os.path.realpath(self.init_root)
+            resolved = os.path.realpath(os.path.join(root, init_path))
+            if os.path.commonpath([resolved, root]) != root:
+                raise PermissionError(
+                    f"init image path escapes --init-root ({root})"
+                )
+            init_path = resolved
         with self.lock:
             if init_path:
                 from PIL import Image
@@ -173,10 +186,19 @@ def main():
     p.add_argument("--ckpt", default=None)
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--size", type=int, default=512)
+    # loopback by default: the server is unauthenticated, so external
+    # exposure (--host 0.0.0.0) must be an explicit operator choice
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument(
+        "--init-root", default=".",
+        help="directory init-image paths are confined to (img2img)",
+    )
     args = p.parse_args()
 
-    app = DemoApp(args.config, args.ckpt, default_size=args.size)
-    server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(app))
+    app = DemoApp(
+        args.config, args.ckpt, default_size=args.size, init_root=args.init_root
+    )
+    server = ThreadingHTTPServer((args.host, args.port), make_handler(app))
     print(f"demo up at http://localhost:{args.port}/", flush=True)
     server.serve_forever()
 

@@ -83,3 +83,52 @@ def test_flash_bf16_inputs_interpret():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(expected), atol=2e-2, rtol=2e-2
     )
+
+
+@pytest.mark.parametrize(
+    "b,h,lq,lk,d",
+    [
+        (2, 5, 256, 256, 64),   # multi-head packed, multi k-block
+        (2, 5, 160, 96, 64),    # unaligned seq, single k-block fast path
+        (1, 3, 128, 300, 64),   # padded tail k-block
+    ],
+)
+def test_flash_packed_matches_reference_interpret(b, h, lq, lk, d):
+    """The packed all-heads kernel ([B, L, H*D] blocks, zero-relayout path)
+    must match the head-major reference exactly."""
+    from vidseg_diffusion_tpu.ops.attention import flash_attention_packed
+
+    rng = jax.random.PRNGKey(7)
+    r1, r2, r3 = jax.random.split(rng, 3)
+    q = _rand(r1, b, h, lq, d)
+    k = _rand(r2, b, h, lk, d)
+    v = _rand(r3, b, h, lk, d)
+
+    expected = mha_reference(q, k, v)  # [b, h, lq, d]
+    pack = lambda t: t.transpose(0, 2, 1, 3).reshape(b, t.shape[2], h * d)
+    got = flash_attention_packed(
+        pack(q), pack(k), pack(v), heads=h,
+        block_q=128, block_k=128, interpret=True,
+    )
+    got = got.reshape(b, lq, h, d).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expected), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_blhd_layout_matches_bhld():
+    """mha_reference / dot_product_attention layout='blhd' equivalence."""
+    from vidseg_diffusion_tpu.ops.attention import dot_product_attention
+
+    rng = jax.random.PRNGKey(9)
+    r1, r2, r3 = jax.random.split(rng, 3)
+    b, h, l, d = 2, 4, 64, 32
+    q = _rand(r1, b, h, l, d)
+    k = _rand(r2, b, h, l, d)
+    v = _rand(r3, b, h, l, d)
+    expected = mha_reference(q, k, v)
+    tr = lambda t: t.transpose(0, 2, 1, 3)
+    got = dot_product_attention(tr(q), tr(k), tr(v), layout="blhd")
+    np.testing.assert_allclose(
+        np.asarray(tr(got)), np.asarray(expected), atol=2e-5, rtol=2e-5
+    )

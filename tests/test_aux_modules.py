@@ -75,17 +75,20 @@ class TestSafety:
         frames = jnp.ones((2, 8, 8, 3))
         np.testing.assert_array_equal(np.asarray(f(frames)), np.asarray(frames))
 
-    def test_filter_blanks_flagged(self):
+    def test_filter_blurs_flagged(self):
         d = 4
 
         def fake_clip(frames):
             return jnp.stack([jnp.full((d,), 10.0), jnp.full((d,), -10.0)])
 
-        head = np.ones(d + 1, np.float32)
+        head = (np.ones((1, d), np.float32), np.zeros(1, np.float32))
         f = SafetyFilter(clip_image_fn=fake_clip, p_head=head)
-        frames = jnp.ones((2, 8, 8, 3))
+        rng = np.random.RandomState(0)
+        frames = jnp.asarray(rng.rand(2, 16, 16, 3).astype(np.float32))
         out = np.asarray(f(frames))
-        assert out[0].max() == 0.0 and out[1].min() == 1.0
+        # flagged frame blurred (textured content smoothed), other untouched
+        assert np.abs(out[0] - np.asarray(frames)[0]).max() > 1e-3
+        np.testing.assert_array_equal(out[1], np.asarray(frames)[1])
 
     def test_watermark_identity_at_zero(self):
         frames = jnp.ones((1, 8, 8, 3))

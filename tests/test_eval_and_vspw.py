@@ -46,18 +46,90 @@ class TestVC:
         t = 8
         gt = np.zeros((t, 2, 2), np.int32)
         pred = gt.copy()
-        pred[:, 0, 0] = 1  # one pixel consistently wrong
+        pred[::2, 0, 0] = 1  # one pixel churns across frames
         vc = video_consistency(jnp.asarray(pred), jnp.asarray(gt), 8)
         assert vc == pytest.approx(3 / 4)
+
+    def test_consistently_wrong_still_consistent(self):
+        # VC measures temporal stability, not accuracy: a pixel that is the
+        # SAME wrong label in every frame counts (VSPW get_common semantics)
+        gt = np.zeros((8, 2, 2), np.int32)
+        pred = gt.copy()
+        pred[:, 0, 0] = 1
+        assert video_consistency(
+            jnp.asarray(pred), jnp.asarray(gt), 8
+        ) == pytest.approx(1.0)
 
     def test_evaluator_accumulates(self):
         ev = SegmentationEvaluator(num_classes=3)
         gt = np.random.RandomState(1).randint(0, 3, (9, 6, 6))
+        gt[:, :3, :] = 2  # static region so windows have GT-consistent pixels
         ev.add_video(gt, gt)
         res = ev.results()
         assert res["mIoU"] == pytest.approx(1.0)
         assert res["mVC_8"] == pytest.approx(1.0)
         assert "mVC_16" not in res  # video too short
+
+
+def _oracle_vc(pred: np.ndarray, gt: np.ndarray, clip_num: int):
+    """Literal-loop transcription of the VSPW paper's VC formula (official
+    VSPW_code `get_common` semantics): per window, the fraction of
+    GT-consistent pixels whose PREDICTION is also consistent across the
+    window. Windows with no GT-consistent pixel are NaN (0/0) and dropped
+    from the mean. Independent oracle: plain python loops, no jax."""
+    t, h, w = gt.shape
+    accs = []
+    for i in range(t - clip_num + 1):
+        global_common = np.ones((h, w), bool)
+        predglobal_common = np.ones((h, w), bool)
+        for j in range(1, clip_num):
+            global_common &= gt[i] == gt[i + j]
+            predglobal_common &= pred[i] == pred[i + j]
+        den = global_common.sum()
+        if den == 0:
+            continue
+        accs.append((predglobal_common & global_common).sum() / den)
+    return float(np.mean(accs)) if accs else None
+
+
+class TestVCOracle:
+    """eval/metrics.video_consistency vs the independently-ported VSPW
+    oracle — the parity metric of record (BASELINE.md) must not rest on
+    hand-rolled expectations (VERDICT r2 weak #4)."""
+
+    def test_fuzz_label_churn(self):
+        rng = np.random.RandomState(0)
+        for trial in range(12):
+            t = rng.randint(8, 24)
+            h, w = rng.randint(4, 10), rng.randint(4, 10)
+            # mix of static background, churning labels, and ignore runs
+            gt = rng.randint(0, 4, (t, h, w))
+            gt[:, : h // 2] = rng.randint(0, 3)  # static region
+            pred = gt.copy()
+            churn = rng.rand(h, w) < 0.3
+            pred[:, churn] = rng.randint(0, 4, (t, churn.sum()))
+            if trial % 3 == 0:
+                gt[:, -1, :] = 255  # ignore-label rows are labels like any
+            for clip in (8, 16):
+                expect = _oracle_vc(pred, gt, clip) if t >= clip else None
+                got = video_consistency(jnp.asarray(pred), jnp.asarray(gt), clip)
+                if expect is None:
+                    assert got is None
+                else:
+                    assert got == pytest.approx(expect, abs=1e-6), (
+                        trial, clip, t, h, w
+                    )
+
+    def test_multiwindow_video_with_state_carry_shapes(self):
+        # 3+ window-length video: 40 frames, mVC_8 has 33 windows
+        rng = np.random.RandomState(3)
+        gt = rng.randint(0, 5, (40, 8, 8))
+        gt[:, :4] = 1
+        pred = np.roll(gt, 1, axis=0)  # temporally-shifted prediction
+        pred[0] = gt[0]
+        expect = _oracle_vc(pred, gt, 8)
+        got = video_consistency(jnp.asarray(pred), jnp.asarray(gt), 8)
+        assert got == pytest.approx(expect, abs=1e-6)
 
 
 class TestSlidingBatches:

@@ -99,6 +99,36 @@ class FirstStage:
 
         return jax.jit(f, static_argnames=("chunk", "video_chunk_is_time"))
 
+    @functools.cached_property
+    def _sharded_jit_cache(self):
+        return {}
+
+    def jit_decode_sharded(self, mesh, decoding_t: int):
+        """Mesh-sharded decode wrapper pinned to the FirstStage, keyed on
+        (mesh, decoding_t): one program decodes a [g, runs, T, h, w, z]
+        grid with the 'runs' axis sharded (one run per device per lax.map
+        step). Rebuilding the jit per call would re-trace per video."""
+        key = (mesh, decoding_t)
+        if key not in self._sharded_jit_cache:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            rsh = NamedSharding(mesh, P(None, "runs"))
+
+            def decode_fn(dp, z):
+                fs_d = dataclasses.replace(self, params_decoder=dp)
+                return jax.lax.map(
+                    lambda grp: jax.vmap(
+                        lambda zz: fs_d.decode(zz, chunk=decoding_t)
+                    )(grp),
+                    z,
+                )
+
+            self._sharded_jit_cache[key] = jax.jit(
+                decode_fn, in_shardings=(repl, rsh), out_shardings=rsh
+            )
+        return self._sharded_jit_cache[key]
+
 
 def _chunked(fn, x: jnp.ndarray, chunk: Optional[int]) -> jnp.ndarray:
     if chunk is None or chunk >= x.shape[0]:

@@ -114,3 +114,12 @@ def soft_color_map(n: int = 128, seed: int = 0) -> np.ndarray:
         [colorsys.hsv_to_rgb(h, s, v) for h, s, v in zip(hues, sat, val)]
     )
     return np.concatenate([base, (rgb * 255).astype(np.uint8)], axis=0)
+
+
+def camvid_color_map() -> np.ndarray:
+    """The CamVid 31-class palette (scripts/util/color_map_camvid.txt,
+    vendored as package data) for CamVid-labelled outputs — [31, 3] uint8."""
+    table_path = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "assets", "color_map_camvid.txt"
+    )
+    return np.loadtxt(table_path, delimiter=",", dtype=np.int64).astype(np.uint8)

@@ -58,19 +58,27 @@ def mean_iou(
 
 
 @functools.partial(jax.jit, static_argnames=("clip_len",))
-def _vc_windows(pred: jax.Array, gt: jax.Array, clip_len: int) -> jax.Array:
-    """Per-window consistency scores [T - clip_len + 1]."""
+def _vc_windows(pred: jax.Array, gt: jax.Array, clip_len: int):
+    """Per-window (numerator, denominator) pairs, [T - clip_len + 1] each.
+
+    VSPW VC semantics (paper §4 / official VSPW_code get_common): a window's
+    score is |pred-consistent ∧ gt-consistent| / |gt-consistent|, where
+    "consistent" means the SAME label across every frame of the window —
+    the prediction need not equal ground truth, only be as temporally
+    stable as ground truth is. (An earlier revision here additionally
+    required pred == gt, which is strictly harsher than the metric of
+    record; validated against the literal-loop oracle in
+    tests/test_eval_and_vspw.py.)"""
     t = gt.shape[0]
 
     def window_score(start):
         p = jax.lax.dynamic_slice_in_dim(pred, start, clip_len, axis=0)
         g = jax.lax.dynamic_slice_in_dim(gt, start, clip_len, axis=0)
         gt_consistent = jnp.all(g == g[0:1], axis=0)
-        correct = jnp.all((p == g) & (g == g[0:1]), axis=0)
-        num = jnp.sum(correct & gt_consistent)
+        pred_consistent = jnp.all(p == p[0:1], axis=0)
+        num = jnp.sum(pred_consistent & gt_consistent)
         den = jnp.sum(gt_consistent)
-        # no GT-consistent pixels in this window → vacuously consistent
-        return jnp.where(den == 0, 1.0, num / jnp.maximum(den, 1))
+        return num.astype(jnp.float32), den.astype(jnp.float32)
 
     starts = jnp.arange(t - clip_len + 1)
     return jax.vmap(window_score)(starts)
@@ -79,10 +87,20 @@ def _vc_windows(pred: jax.Array, gt: jax.Array, clip_len: int) -> jax.Array:
 def video_consistency(
     pred: jax.Array, gt: jax.Array, clip_len: int = 8
 ) -> Optional[float]:
-    """mVC_c for one video: pred/gt [T, H, W]. None if T < clip_len."""
+    """mVC_c for one video: pred/gt [T, H, W]. None if T < clip_len.
+
+    Windows with no GT-consistent pixel are excluded from the mean (the
+    official code's 0/0 → NaN under a nanmean); None if every window is
+    excluded."""
     if gt.shape[0] < clip_len:
         return None
-    return float(jnp.mean(_vc_windows(pred, gt, clip_len)))
+    num, den = _vc_windows(pred, gt, clip_len)
+    valid = den > 0
+    n_valid = int(jnp.sum(valid))
+    if n_valid == 0:
+        return None
+    scores = jnp.where(valid, num / jnp.maximum(den, 1.0), 0.0)
+    return float(jnp.sum(scores) / n_valid)
 
 
 class SegmentationEvaluator:

@@ -124,7 +124,10 @@ def brace_expand(pattern: str) -> list:
 
 
 def _default_decode(name: str, data: bytes):
-    ext = name.split(".", 1)[-1].lower()
+    # decode by the LAST extension (webdataset semantics): a multi-suffix
+    # member like `key.seg.png` is still a png — the full post-key suffix
+    # ("seg.png") remains the sample-dict key (grouping happens upstream)
+    ext = name.rsplit(".", 1)[-1].lower()
     if ext in ("jpg", "jpeg", "png", "ppm", "bmp", "webp"):
         import io as _io
 

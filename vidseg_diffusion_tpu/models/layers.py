@@ -45,21 +45,36 @@ def timestep_embedding(
     return emb
 
 
+class _GNScaleBias(nn.Module):
+    """Parameter container matching nn.GroupNorm's tree ({scale, bias}) so
+    checkpoint-converter key mappings are unchanged."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
 class GroupNorm32(nn.Module):
-    """GroupNorm(32) computed in fp32 regardless of activation dtype
-    (diffusionmodules/util.py:261-278)."""
+    """GroupNorm(32) with fp32 statistics regardless of activation dtype
+    (diffusionmodules/util.py:261-278). Uses the lane-layout-preserving
+    formulation (ops/norm.group_norm_xla): flax's nn.GroupNorm splits the
+    channel axis on the ACTIVATION for the group reduce, which breaks the
+    TPU 128-lane tiling and costs full-size fp32 relayout copies at every
+    site (~6 GB/step at swan scale)."""
 
     epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        orig_dtype = x.dtype
+        from vidseg_diffusion_tpu.ops.norm import group_norm_xla
+
         g = 32 if x.shape[-1] % 32 == 0 else math.gcd(32, x.shape[-1])
-        out = nn.GroupNorm(
-            num_groups=g, epsilon=self.epsilon, dtype=jnp.float32,
-            param_dtype=jnp.float32, name="gn",
-        )(x.astype(jnp.float32))
-        return out.astype(orig_dtype)
+        scale, bias = _GNScaleBias(x.shape[-1], name="gn")()
+        return group_norm_xla(x, scale, bias, groups=g, eps=self.epsilon)
 
 
 class AlphaBlender(nn.Module):
@@ -285,17 +300,25 @@ class CrossAttention(nn.Module):
         xd = x.astype(self.dtype)
         cd = ctx.astype(self.dtype)
 
-        def proj(t, w, l):
+        # project straight into [B, L, H, D] — the matmul's NATIVE output
+        # order ([B·L, C] × [C, H·D] viewed 4-D is a bitcast). Attention
+        # consumes this layout directly (ops/attention layout='blhd'), the
+        # sow/injection flat [B, L, H·D] views are bitcasts too, and the
+        # output projection contracts (h, d) back to channels: the whole
+        # attention site runs with ZERO relayout copies (the old head-major
+        # [B, H, L, D] layout cost a physical l↔h transpose per tensor —
+        # ~3.9 GB/step in the r2 HLO dump).
+        def proj(t, w):
             return jnp.einsum(
-                "blc,chd->bhld", t, w.astype(self.dtype).reshape(-1, h, dh)
+                "blc,chd->blhd", t, w.astype(self.dtype).reshape(-1, h, dh)
             )
 
-        q = proj(xd, wq, lq)
-        k = proj(cd, wk, lk)
-        v = proj(cd, wv, lk)
+        q = proj(xd, wq)
+        k = proj(cd, wk)
+        v = proj(cd, wv)
 
         def to_heads(flat, l):
-            return flat.reshape(b, l, h, dh).transpose(0, 2, 1, 3)
+            return flat.reshape(b, l, h, dh)
 
         if injection is not None:
             q = _inject(q, None if injection.q is None else to_heads(injection.q, lq), injection.gate)
@@ -303,17 +326,17 @@ class CrossAttention(nn.Module):
             v = _inject(v, None if injection.v is None else to_heads(injection.v, lk), injection.gate)
 
         def to_flat(t, l):
-            return t.transpose(0, 2, 1, 3).reshape(b, l, inner)
+            return t.reshape(b, l, inner)
 
         if self.sow_qk:
             self.sow("intermediates", "q", to_flat(q, lq))
             self.sow("intermediates", "k", to_flat(k, lk))
 
-        out = dot_product_attention(q, k, v)
+        out = dot_product_attention(q, k, v, layout="blhd")
         wo, bo = _Kernel((inner, out_dim), bias=True, name="to_out")()
         return (
             jnp.einsum(
-                "bhld,hdc->blc", out, wo.astype(self.dtype).reshape(h, dh, out_dim)
+                "blhd,hdc->blc", out, wo.astype(self.dtype).reshape(h, dh, out_dim)
             )
             + bo.astype(self.dtype)
         )

@@ -34,11 +34,23 @@ DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 def mha_reference(
-    q: jax.Array, k: jax.Array, v: jax.Array, scale: Optional[float] = None
+    q: jax.Array, k: jax.Array, v: jax.Array, scale: Optional[float] = None,
+    layout: str = "bhld",
 ) -> jax.Array:
-    """Reference attention. Shapes [B, H, Lq, D], [B, H, Lk, D] → [B, H, Lq, D]."""
+    """Reference attention. layout='bhld': [B, H, L, D] (torch SDPA order);
+    layout='blhd': [B, L, H, D] — the natural projection-matmul output
+    order, consumed without any transposition."""
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
+    if layout == "blhd":
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        weights = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum(
+            "bhqk,bkhd->bqhd", weights.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        ).astype(q.dtype)
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
     ) * scale
@@ -49,7 +61,8 @@ def mha_reference(
     ).astype(q.dtype)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, kv_len, block_k):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, kv_len,
+                  block_k, blhd=False):
     """One (q-block, k-block) tile of online-softmax attention.
 
     VPU-lean formulation (the kernel is VPU/MXU mixed-bound at the VidSeg
@@ -60,8 +73,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, kv_len, 
       on the tail block that actually contains padding
     - the single-k-block grid skips the online-rescaling machinery entirely
     """
-    kb = pl.program_id(2)
-    nkb = pl.num_programs(2)
+    kb = pl.program_id(3 if blhd else 2)
+    nkb = pl.num_programs(3 if blhd else 2)
 
     @pl.when(kb == 0)
     def _init():
@@ -72,9 +85,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, kv_len, 
     # dots run in the input dtype (bf16 on the model path) with fp32
     # accumulation — the MXU's native mode; upcasting the inputs to f32
     # first would force the much slower multi-pass f32 matmul
-    q = q_ref[0]  # [bq, d] (pre-scaled)
-    k = k_ref[0]  # [bk, d]
-    v = v_ref[0]  # [bk, d]
+    if blhd:  # blocks [1, bl, 1, d] sliced from [B, L, H, D]
+        q = q_ref[0, :, 0, :]  # [bq, d] (pre-scaled)
+        k = k_ref[0, :, 0, :]  # [bk, d]
+        v = v_ref[0, :, 0, :]  # [bk, d]
+    else:
+        q = q_ref[0]  # [bq, d] (pre-scaled)
+        k = k_ref[0]  # [bk, d]
+        v = v_ref[0]  # [bk, d]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -96,9 +114,15 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, kv_len, 
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    def store(val):
+        if blhd:
+            o_ref[0, :, 0, :] = val
+        else:
+            o_ref[0] = val
+
     if nkb == 1:
         # single pass: no rescaling, no accumulator round-trip
-        o_ref[0] = (pv / psum).astype(o_ref.dtype)
+        store((pv / psum).astype(o_ref.dtype))
     else:
         alpha = jnp.exp(m_prev - m_next)
         l_next = alpha * l_prev + psum
@@ -108,7 +132,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, kv_len, 
 
         @pl.when(kb == nkb - 1)
         def _finalize():
-            o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+            store((acc_ref[:] / l_ref[:]).astype(o_ref.dtype))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -116,7 +140,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret", "layout")
 )
 def flash_attention(
     q: jax.Array,
@@ -126,8 +150,16 @@ def flash_attention(
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
     interpret: bool = False,
+    layout: str = "bhld",
 ) -> jax.Array:
-    """Pallas TPU flash attention. Shapes [B, H, Lq, D] / [B, H, Lk, D].
+    """Pallas TPU flash attention.
+
+    layout='bhld': [B, H, Lq, D] / [B, H, Lk, D] (torch SDPA order).
+    layout='blhd': [B, Lq, H, D] — the projection matmul's NATIVE output
+    order, consumed in place. The kernel grid slices one (batch, head)
+    [L, D] plane per program either way; with blhd no relayout copy is ever
+    materialized between the q/k/v projections and the kernel (the
+    [B, L, H·D]→[B, H, L, D] copies cost ~3.9 GB/step in the r2 HLO dump).
 
     Handles non-aligned Lq/Lk/D by zero-padding (D to 128 lanes, L to block
     multiples) with in-kernel masking of padded keys; padded queries compute
@@ -141,8 +173,13 @@ def flash_attention(
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
 
-    b, h, lq, d = q.shape
-    lk = k.shape[2]
+    blhd = layout == "blhd"
+    if blhd:
+        b, lq, h, d = q.shape
+        lk = k.shape[1]
+    else:
+        b, h, lq, d = q.shape
+        lk = k.shape[2]
 
     # Auto blocks (v5e-tuned at the VidSeg spatial shapes, see
     # scripts/tests/attn_tune.py): prefer a block_q that divides Lq exactly
@@ -189,6 +226,29 @@ def flash_attention(
     lq_pad = _round_up(lq, block_q)
     lk_pad = _round_up(lk, block_k)
 
+    scratch = [
+        pltpu.VMEM((block_q, d_pad), jnp.float32),
+        pltpu.VMEM((block_q, 1), jnp.float32),
+        pltpu.VMEM((block_q, 1), jnp.float32),
+    ]
+
+    if blhd:
+        # Mosaic requires the last-two block dims be (mult-of-8, mult-of-128)
+        # or full — a (1, bq, 1, d) block over [B, L, H, D] is illegal, so
+        # the kernel cannot slice per-head planes of the projection-native
+        # layout directly. Relayout to head-major here and run the 3-D
+        # kernel (the copy XLA emits is the same one the old bhld module
+        # code paid; the blhd module layout still saves the copies at every
+        # jnp-path site).
+        q = jnp.moveaxis(q, 2, 1)
+        k = jnp.moveaxis(k, 2, 1)
+        v = jnp.moveaxis(v, 2, 1)
+        out = flash_attention(
+            q, k, v, scale=scale, block_q=block_q, block_k=block_k,
+            interpret=interpret, layout="bhld",
+        )
+        return jnp.moveaxis(out, 1, 2)
+
     # fold the softmax scale into q: bq·d multiplies instead of bq·bk
     qf = (q * jnp.asarray(scale, q.dtype)).reshape(b * h, lq, d)
     kf = k.reshape(b * h, lk, d)
@@ -223,11 +283,7 @@ def flash_attention(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b * h, lq_pad, d_pad), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, d_pad), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -235,6 +291,166 @@ def flash_attention(
     )(qf, kf, vf)
 
     return out[:, :lq, :d].reshape(b, h, lq, d)
+
+
+def _flash_kernel_packed(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
+                         kv_len, block_k, heads, d):
+    """All-heads flash tile on PACKED [bq, H·D] blocks.
+
+    Consumes the q/k/v projections in their matmul-native [B, L, H·D]
+    packing (a bitcast of [B, L, H, D]) — no relayout copy between the
+    projections and the kernel. Each program processes every head of one
+    (q-block, k-block) tile: per head, a 64-lane slice of the packed block
+    feeds the usual online-softmax update; accumulators pack the same way.
+    m/l scratch is [bq, heads]."""
+    kb = pl.program_id(2)
+    nkb = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0]  # [bq, H*D] (pre-scaled)
+    k = k_ref[0]  # [bk, H*D]
+    v = v_ref[0]  # [bk, H*D]
+
+    for hh in range(heads):
+        sl = slice(hh * d, (hh + 1) * d)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bq, bk] fp32
+        if kv_len % block_k != 0:
+            k_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(
+                jnp.logical_or(kb != nkb - 1, k_ids < kv_len),
+                s, DEFAULT_MASK_VALUE,
+            )
+        m_prev = m_ref[:, hh:hh + 1]
+        l_prev = l_ref[:, hh:hh + 1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        p_unscaled = None
+        pv = None
+        if nkb == 1:
+            p = jnp.exp(s - m_cur)
+            psum = jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[0, :, sl] = (pv / psum).astype(o_ref.dtype)
+        else:
+            m_next = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp(s - m_next)
+            psum = jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            alpha = jnp.exp(m_prev - m_next)
+            acc_ref[:, sl] = acc_ref[:, sl] * alpha + pv
+            m_ref[:, hh:hh + 1] = m_next
+            l_ref[:, hh:hh + 1] = alpha * l_prev + psum
+
+            @pl.when(kb == nkb - 1)
+            def _finalize(sl=sl, hh=hh):
+                o_ref[0, :, sl] = (
+                    acc_ref[:, sl] / l_ref[:, hh:hh + 1]
+                ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "scale", "block_q", "block_k", "interpret")
+)
+def flash_attention_packed(
+    q: jax.Array,   # [B, L, H*D]
+    k: jax.Array,
+    v: jax.Array,
+    heads: int,
+    scale: Optional[float] = None,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Flash attention on packed [B, L, H·D] projections (zero relayout).
+
+    Equivalent math to flash_attention; the packed layout is the bitcast of
+    the projection einsum's [B, L, H, D] output, so q/k/v flow from matmul
+    to kernel without the per-tensor l↔h transpose copies (~3.9 GB/step in
+    the r2 swan HLO dump)."""
+    b, lq, hd = q.shape
+    lk = k.shape[1]
+    d = hd // heads
+    assert heads * d == hd, (heads, hd)
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+
+    if block_q is None:
+        block_q = max(
+            (c for c in range(256, 520, 8) if lq % c == 0), default=512
+        )
+    if block_k is None:
+        block_k = max(
+            (c for c in range(1024, 3080, 8) if lk % c == 0), default=2944
+        )
+    block_q = min(block_q, _round_up(lq, 128))
+    block_k = min(block_k, _round_up(lk, 128))
+
+    in_bytes = q.dtype.itemsize
+    lanes = _round_up(hd, 128)
+
+    def vmem_bytes(bq, bk):
+        io = (2 * bq + 2 * bk) * lanes * in_bytes   # q+out, k+v packed blocks
+        work = bq * bk * 4 + bq * lanes * 4         # one head's logits + acc
+        return io * 2 + work                        # io double-buffered
+
+    budget = 13 * 1024 * 1024
+    while vmem_bytes(block_q, block_k) > budget and block_k > 128:
+        block_k = max(128, block_k // 2)
+    while vmem_bytes(block_q, block_k) > budget and block_q > 128:
+        block_q = max(128, block_q // 2)
+
+    lq_pad = _round_up(lq, block_q)
+    lk_pad = _round_up(lk, block_k)
+
+    qf = q * jnp.asarray(scale, q.dtype)
+    if lq_pad != lq:
+        qf = jnp.pad(qf, ((0, 0), (0, lq_pad - lq), (0, 0)))
+    kf, vf = k, v
+    if lk_pad != lk:
+        kf = jnp.pad(kf, ((0, 0), (0, lk_pad - lk), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, lk_pad - lk), (0, 0)))
+
+    grid = (b, lq_pad // block_q, lk_pad // block_k)
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel_packed, kv_len=lk, block_k=block_k, heads=heads, d=d
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda bb, qb, kb: (bb, qb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, hd), lambda bb, qb, kb: (bb, kb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, hd), lambda bb, qb, kb: (bb, kb, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd), lambda bb, qb, kb: (bb, qb, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, lq_pad, hd), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, hd), jnp.float32),
+            pltpu.VMEM((block_q, heads), jnp.float32),
+            pltpu.VMEM((block_q, heads), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out[:, :lq]
 
 
 # Below this sequence length the jnp path is both faster (no padding waste)
@@ -248,16 +464,22 @@ def dot_product_attention(
     v: jax.Array,
     scale: Optional[float] = None,
     force_flash: Optional[bool] = None,
+    layout: str = "bhld",
 ) -> jax.Array:
     """SDPA dispatcher: Pallas flash kernel for long sequences on TPU,
     jnp reference otherwise. Counterpart of the reference's
-    F.scaled_dot_product_attention backend switching (attention.py:17-57)."""
+    F.scaled_dot_product_attention backend switching (attention.py:17-57).
+    layout='blhd' consumes projection-native [B, L, H, D] (see
+    flash_attention)."""
+    l_axis = 1 if layout == "blhd" else 2
     use_flash = force_flash
     if use_flash is None:
         on_tpu = jax.default_backend() == "tpu"
         use_flash = (
-            on_tpu and q.shape[2] >= _FLASH_MIN_SEQ and k.shape[2] >= _FLASH_MIN_SEQ
+            on_tpu
+            and q.shape[l_axis] >= _FLASH_MIN_SEQ
+            and k.shape[l_axis] >= _FLASH_MIN_SEQ
         )
     if use_flash:
-        return flash_attention(q, k, v, scale=scale)
-    return mha_reference(q, k, v, scale=scale)
+        return flash_attention(q, k, v, scale=scale, layout=layout)
+    return mha_reference(q, k, v, scale=scale, layout=layout)

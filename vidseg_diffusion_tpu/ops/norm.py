@@ -145,6 +145,49 @@ def group_norm_silu(
     return out[:, :m]
 
 
+def group_norm_xla(
+    x: jax.Array, scale: jax.Array, bias: jax.Array,
+    *, groups: int = 32, eps: float = 1e-5, silu: bool = False,
+) -> jax.Array:
+    """Lane-layout-preserving GroupNorm(+SiLU) in pure XLA.
+
+    flax's nn.GroupNorm reshapes the ACTIVATION to split channels into
+    (groups, C//G) for the stats reduce; with C//G = 10..40 that breaks the
+    128-lane channel tiling and XLA materializes full-size fp32 relayout
+    copies around every GN site (measured ~6 GB of f32 %copy per UNet step
+    at swan scale — the largest single copy family in the r2 HLO dump).
+    Here the big tensor is only ever touched by (a) a spatial-axis reduce
+    to per-channel sums [B, C] — lane-aligned, and fusable into a
+    preceding convolution's output stage — and (b) one elementwise
+    normalize(+SiLU) fusion in the storage dtype. The channel→group
+    aggregation happens on the tiny [B, C] stats array. Statistics are
+    fp32 (GroupNorm32 semantics, diffusionmodules/util.py:261-278); no
+    fp32 copy of the activation is ever materialized."""
+    b, c = x.shape[0], x.shape[-1]
+    assert c % groups == 0, (c, groups)
+    red = tuple(range(1, x.ndim - 1))
+    xf = x.astype(jnp.float32)
+    s = jnp.sum(xf, axis=red)          # [B, C]
+    ss = jnp.sum(xf * xf, axis=red)    # [B, C]
+    n = (x.size // (b * c)) * (c // groups)
+    gs = s.reshape(b, groups, -1).sum(-1)    # [B, G]
+    gss = ss.reshape(b, groups, -1).sum(-1)
+    mean = gs / n
+    var = gss / n - mean * mean
+    inv = jax.lax.rsqrt(var + eps)
+    rep = lambda g: jnp.repeat(g, c // groups, axis=1)  # [B, G] -> [B, C]
+    a = rep(inv) * scale[None].astype(jnp.float32)
+    bsh = (
+        bias[None].astype(jnp.float32)
+        - rep(mean * inv) * scale[None].astype(jnp.float32)
+    )
+    bcast = (b,) + (1,) * (x.ndim - 2) + (c,)
+    y = xf * a.reshape(bcast) + bsh.reshape(bcast)
+    if silu:
+        y = y * jax.nn.sigmoid(y)
+    return y.astype(x.dtype)
+
+
 def group_norm_reference(
     x: jax.Array, scale: jax.Array, bias: jax.Array,
     *, groups: int = 32, eps: float = 1e-5, silu: bool = False,

@@ -203,6 +203,32 @@ def make_harvest(
     )
 
 
+def estimate_injected_cache_bytes(
+    harvest, out_layout, dtype, h_lat: int, w_lat: int, t: int,
+    num_steps: int, t_start: int, cluster_blocks: Sequence[int],
+) -> Dict[str, int]:
+    """Per-entry HBM bytes of the windowed injected q/k cache (excluding
+    the cluster blocks' spatial q, which must stay device-resident for the
+    mask stage). Used both by run_single_video's host-offload decision and
+    by the memory-budget tests."""
+    from vidseg_diffusion_tpu.engine.vidseg import HarvestSpec
+
+    itemsize = jnp.dtype(dtype).itemsize
+    w_steps = num_steps - t_start
+    cluster_names = {
+        HarvestSpec.name(b, "spatial_self", "q") for b in cluster_blocks
+    }
+    est: Dict[str, int] = {}
+    for b, site, tensor in harvest.entries:
+        name = HarvestSpec.name(b, site, tensor)
+        if name in cluster_names:
+            continue
+        ds = out_layout[b]["ds"]
+        tokens = (h_lat // ds) * (w_lat // ds)
+        est[name] = w_steps * 2 * t * tokens * out_layout[b]["ch"] * itemsize
+    return est
+
+
 def _decode_runs_sharded(fs, flat: jnp.ndarray, decoding_t: int, mesh) -> jnp.ndarray:
     """Decode the [2·K, T, h, w, z] run latents with the run axis sharded
     over the mesh's 'runs' axis (one run per device per lax.map step —
@@ -217,14 +243,7 @@ def _decode_runs_sharded(fs, flat: jnp.ndarray, decoding_t: int, mesh) -> jnp.nd
     repl = NamedSharding(mesh, P())
     rsh = NamedSharding(mesh, P(None, "runs"))
 
-    def decode_fn(dp, z):
-        fs_d = dataclasses.replace(fs, params_decoder=dp)
-        return jax.lax.map(
-            lambda grp: jax.vmap(lambda zz: fs_d.decode(zz, chunk=decoding_t))(grp),
-            z,
-        )
-
-    out = jax.jit(decode_fn, in_shardings=(repl, rsh), out_shardings=rsh)(
+    out = fs.jit_decode_sharded(mesh, decoding_t)(
         jax.device_put(fs.params_decoder, repl), jax.device_put(padded, rsh)
     )
     return out.reshape((g * nd,) + out.shape[2:])[:total]
@@ -334,23 +353,17 @@ def run_single_video(
         raise ValueError(f"Invalid inversion type {args.inversion_type}")
     # decide up front whether the injected cache must live in host RAM:
     # the one-scan feature pass materializes its whole output on device, so
-    # oversized caches must stream out per step (xt_cache_pass_host)
+    # oversized caches must stream out per step (xt_cache_pass_host). The
+    # same per-device budget applies under a mesh — the cache is replicated
+    # per device there, and the sharded-stepped dispatch streams it from
+    # host RAM exactly like the single-chip path.
     use_mesh = args.mesh == "runs" or (args.mesh == "auto" and jax.device_count() > 1)
     host_names: Tuple[str, ...] = ()
-    if args.is_injected_features and not use_mesh:
-        itemsize = jnp.dtype(unet_cfg.dtype).itemsize
-        w_steps = args.num_steps - t_start_feat
-        cluster_names = {
-            HarvestSpec.name(b, "spatial_self", "q") for b in cluster_blocks
-        }
-        est = {}
-        for b, site, tensor in engine.harvest.entries:
-            name = HarvestSpec.name(b, site, tensor)
-            if name in cluster_names:
-                continue
-            ds = out_layout[b]["ds"]
-            tokens = (h_lat // ds) * (w_lat // ds)
-            est[name] = w_steps * 2 * t * tokens * out_layout[b]["ch"] * itemsize
+    if args.is_injected_features:
+        est = estimate_injected_cache_bytes(
+            engine.harvest, out_layout, unet_cfg.dtype, h_lat, w_lat, t,
+            args.num_steps, t_start_feat, cluster_blocks,
+        )
         if sum(est.values()) > args.injected_cache_budget_gb * 1e9:
             host_names = tuple(sorted(est))
 
@@ -371,6 +384,14 @@ def run_single_video(
     # caches are windowed from t0 (engine xt_cache_pass docstring)
     cache_t0 = int(cache.get("t0", 0))
     feat_t = args.feature_timestep[0]
+    if feat_t < cache_t0:
+        raise ValueError(
+            f"feature_timestep {feat_t} precedes the cache window start "
+            f"{cache_t0} (= min(modulate_timestep) for add_noise inversion): "
+            "the feature pass only runs steps >= t_start, so features at "
+            "earlier steps were never produced. Use feature_timestep >= "
+            "min(modulate_timestep) or inversion_type='inversion'."
+        )
     feats = [
         cache[HarvestSpec.name(b, "spatial_self", "q")][feat_t - cache_t0]
         for b in cluster_blocks
@@ -453,10 +474,20 @@ def run_single_video(
         from vidseg_diffusion_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(axes=("runs",), shape=(jax.device_count(),))
-        finals = engine.modulated_runs_sharded(
-            pipeline.unet_params, noised, c, uc, masks_block, masks_latent,
-            cache, t_start_mod, mesh=mesh,
-        )
+        if host_inj is not None:
+            # oversized injected cache: host-stepped under the mesh — each
+            # step's slice streams host→devices replicated, the runs grid
+            # stays sharded (per-device HBM never holds the full cache)
+            finals = engine.modulated_runs_sharded_stepped(
+                pipeline.unet_params, noised, c, uc, masks_block,
+                masks_latent, cache, t_start_mod, mesh=mesh,
+                host_inj=host_inj,
+            )
+        else:
+            finals = engine.modulated_runs_sharded(
+                pipeline.unet_params, noised, c, uc, masks_block, masks_latent,
+                cache, t_start_mod, mesh=mesh,
+            )
     elif args.runs_chunk <= 1 or host_inj is not None:
         # smallest compile unit: one jitted Euler step reused across all
         # steps and runs (see modulated_runs_host_stepped); also the only

@@ -1,13 +1,21 @@
 """Safety filtering + watermarking.
 
 Counterparts of scripts/util/detection/nsfw_and_watermark_dectection.py
-(DeepFloydDataFiltering :39-110 — CLIP ViT-L/14 features → logistic heads
+(DeepFloydDataFiltering :39-76 — CLIP ViT-L/14 features → logistic heads
 from p_head_v1.npz / w_head_v1.npz) and sgm/inference/helpers.py
 (embed_watermark :16-59). Note: on the VidSeg path the reference constructs
 the filter but never applies it (svd_single_video_inference.py:585,
 SURVEY.md §2.4); this module keeps the same constructed-but-optional role.
-Head weights load from the same .npz files when provided; without them the
-filter is a configured no-op that reports scores of 0.
+
+Head math mirrors the reference exactly (validated against an executable
+torch replica in tests/test_safety_parity.py):
+- .npz files carry `weights` [K, D] and `biases` [K] keys
+  (load_model_weights, :20-22)
+- features are the RAW CLIP image embeddings cast to fp16 — NOT
+  L2-normalized (:63-64)
+- predict_proba is the numerically-stable two-branch sigmoid (:12-17)
+- flagged images are Gaussian-blurred with kernel 99, sigma 100 (:70-75),
+  by BOTH the nsfw (p) and watermark (w) heads at threshold 0.5
 """
 
 from __future__ import annotations
@@ -19,51 +27,112 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vidseg_diffusion_tpu.ops.image import gaussian_blur
+
+# CLIP preprocessing stats (clip_process_images, :25-36)
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def predict_proba(x: np.ndarray, weights: np.ndarray, biases: np.ndarray):
+    """Stable logistic head (nsfw_and_watermark_dectection.py:12-17):
+    x [B, D], weights [K, D], biases [K] → proba [K, B]."""
+    logits = x @ weights.T + biases
+    proba = np.where(
+        logits >= 0,
+        1.0 / (1.0 + np.exp(-logits)),
+        np.exp(logits) / (1.0 + np.exp(logits)),
+    )
+    return proba.T
+
 
 @dataclasses.dataclass
 class SafetyFilter:
-    """CLIP-feature logistic-head NSFW/watermark filter."""
+    """CLIP-feature logistic-head NSFW/watermark filter.
 
-    clip_image_fn: Optional[Callable] = None  # frames [-1,1] -> [B, D] features
-    p_head: Optional[np.ndarray] = None  # nsfw head [D+1] (weights, bias)
-    w_head: Optional[np.ndarray] = None  # watermark head
-    threshold: float = 0.5
+    clip_image_fn maps preprocessed frames to raw (un-normalized) CLIP
+    image embeddings; heads are (weights [K, D], biases [K]) pairs. Without
+    heads the filter is a configured no-op reporting scores of 0 (the
+    .npz head files are distributed separately upstream)."""
+
+    clip_image_fn: Optional[Callable] = None
+    p_head: Optional[tuple] = None  # (weights, biases)
+    w_head: Optional[tuple] = None
+    p_threshold: float = 0.5
+    w_threshold: float = 0.5
 
     @classmethod
     def from_npz(cls, clip_image_fn, p_head_path: str, w_head_path: str, **kw):
+        def load(path):
+            if not path:
+                return None
+            z = np.load(path)
+            return (np.asarray(z["weights"]), np.asarray(z["biases"]))
+
         return cls(
             clip_image_fn=clip_image_fn,
-            p_head=np.load(p_head_path)["arr_0"] if p_head_path else None,
-            w_head=np.load(w_head_path)["arr_0"] if w_head_path else None,
+            p_head=load(p_head_path),
+            w_head=load(w_head_path),
             **kw,
         )
 
-    def scores(self, frames: jnp.ndarray) -> jnp.ndarray:
-        if self.clip_image_fn is None or self.p_head is None:
-            return jnp.zeros((frames.shape[0],))
-        feats = self.clip_image_fn(frames)
-        feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
-        w = jnp.asarray(self.p_head)
-        logits = feats @ w[:-1] + w[-1]
-        return jax.nn.sigmoid(logits)
+    def _features(self, frames: jnp.ndarray) -> np.ndarray:
+        feats = np.asarray(self.clip_image_fn(frames))
+        # the reference casts features to fp16 before the heads (:63-64)
+        return feats.astype(np.float16)
+
+    def scores(self, frames: jnp.ndarray) -> np.ndarray:
+        """[2, B] (p_pred, w_pred) probabilities for K=1 heads; zeros when
+        unconfigured."""
+        b = frames.shape[0]
+        if self.clip_image_fn is None or (
+            self.p_head is None and self.w_head is None
+        ):
+            return np.zeros((2, b))
+        feats = self._features(frames)
+        out = np.zeros((2, b))
+        if self.p_head is not None:
+            out[0] = predict_proba(feats, *self.p_head)[0]
+        if self.w_head is not None:
+            out[1] = predict_proba(feats, *self.w_head)[0]
+        return out
 
     def __call__(self, frames: jnp.ndarray) -> jnp.ndarray:
-        """Blur/blank frames over threshold (the reference blurs); frames
-        pass through unchanged when no heads are loaded."""
+        """Blur frames either head flags (GaussianBlur(99, 100) — :70-75).
+        The blurs apply SEQUENTIALLY like the reference: a frame flagged by
+        both heads is blurred twice. frames: [B, H, W, C] in any range;
+        passthrough when unconfigured."""
         s = self.scores(frames)
-        flagged = (s > self.threshold)[:, None, None, None]
-        return jnp.where(flagged, jnp.zeros_like(frames), frames)
+
+        def blur(fr):
+            chw = jnp.moveaxis(fr, -1, 1)
+            out = jnp.moveaxis(gaussian_blur(chw, ksize=99, sigma=100.0), 1, -1)
+            return out.astype(fr.dtype)
+
+        for flagged in (s[0] > self.p_threshold, s[1] > self.w_threshold):
+            if flagged.any():
+                mask = jnp.asarray(flagged)[:, None, None, None]
+                frames = jnp.where(mask, blur(frames), frames)
+        return frames
 
 
 def embed_watermark(frames: jnp.ndarray, strength: float = 0.0) -> jnp.ndarray:
-    """Watermark hook (helpers.py:16-59 uses the imwatermark DWT-DCT
-    embedder). A frequency-domain embedder is out of scope for the
-    segmentation product; this is the identity unless a strength is given,
-    in which case a deterministic low-amplitude dither is added so
-    downstream watermark *presence* checks have a signal."""
+    """Watermark hook (helpers.py:16-59 drives the imwatermark DWT-DCT
+    embedder with a fixed 48-bit message). strength <= 0 is the identity —
+    the shipped VidSeg pipelines never watermark (the reference constructs
+    but does not apply the filter on that path). strength > 0 embeds the
+    reference's fixed message via the DWT-DCT scheme
+    (utils/watermark.py) for images the decoder accepts (>= 256x256);
+    smaller frames get a deterministic low-amplitude dither so presence
+    checks still see a signal at toy sizes."""
     if strength <= 0.0:
         return frames
     h, w = frames.shape[-3:-1]
+    if h * w >= 256 * 256 and frames.shape[-1] == 3:
+        from vidseg_diffusion_tpu.utils.watermark import embed_watermark_frames
+
+        out = embed_watermark_frames(np.asarray(frames, np.float64))
+        return jnp.asarray(out, dtype=frames.dtype)
     yy = jnp.arange(h)[:, None]
     xx = jnp.arange(w)[None, :]
     pattern = (((yy * 7 + xx * 13) % 17) / 17.0 - 0.5) * strength
