@@ -169,10 +169,64 @@ class ResBlock(nn.Module):
         return x + h
 
 
+class TemporalConv(nn.Module):
+    """(kt, kh, kw) video conv decomposed into kt time-shifted 2-D convs.
+
+    XLA:TPU lowers a 3-spatial-dim convolution through space-to-depth
+    relayouts that materialize full-size fp32 copies around every
+    `time_stack` site (~5 GB of %copy + %reshape per UNet step in the swan
+    HLO dump — the largest relayout family). The same math as
+    Conv3D(kt,kh,kw) with SAME zero padding on t is
+
+        out[t'] = Σ_{j<kt} Conv2D(kh,kw)( x_tpad[t'+j], W[j] ) + bias
+
+    where x_tpad has kt//2 zero frames each side — for the SVD kernel
+    (3,1,1) each term is a plain channel matmul, which is exactly what the
+    MXU wants and keeps the activation in its native [.., h, w, c] layout.
+    Param tree matches nn.Conv ({kernel [kt,kh,kw,cin,cout], bias}), so
+    checkpoint conversion is unchanged."""
+
+    features: int
+    kernel: Tuple[int, int, int] = (3, 1, 1)
+    dtype: jnp.dtype = jnp.float32
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        # x: [b, t, h, w, c]
+        b, t, hh, ww, cin = x.shape
+        kt, kh, kw = self.kernel
+        init = (
+            nn.initializers.zeros if self.zero_init
+            else nn.initializers.lecun_normal()
+        )
+        kernel = self.param(
+            "kernel", init, (kt, kh, kw, cin, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        pad = kt // 2
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (0, 0), (0, 0)))
+        out = None
+        for j in range(kt):
+            xj = xp[:, j:j + t].reshape(b * t, hh, ww, cin).astype(self.dtype)
+            wj = kernel[j].astype(self.dtype)  # [kh, kw, cin, cout]
+            if kh == 1 and kw == 1:
+                y = jnp.einsum("bhwc,cd->bhwd", xj, wj[0, 0])
+            else:
+                y = jax.lax.conv_general_dilated(
+                    xj, wj, (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+            out = y if out is None else out + y
+        out = out + bias.astype(self.dtype)
+        return out.reshape(b, t, hh, ww, self.features)
+
+
 class TemporalResBlock3D(nn.Module):
-    """The `time_stack` 3-D ResBlock inside VideoResBlock
+    """The `time_stack` ResBlock inside VideoResBlock
     (video_model.py:45-58; openaimodel ResBlock with dims=3,
-    kernel_size=video_kernel_size, exchange_temb_dims=True). NDHWC."""
+    kernel_size=video_kernel_size, exchange_temb_dims=True). NDHWC; convs
+    via the TemporalConv decomposition (no 3-D conv on the TPU path)."""
 
     kernel: Tuple[int, int, int] = (3, 1, 1)
     dtype: jnp.dtype = jnp.float32
@@ -182,14 +236,13 @@ class TemporalResBlock3D(nn.Module):
         # x: [b, t, h, w, c]; emb: [b, t, E]
         c = x.shape[-1]
         h = nn.silu(GroupNorm32(name="in_norm")(x))
-        h = nn.Conv(c, self.kernel, dtype=self.dtype, name="in_conv")(h)
+        h = TemporalConv(c, self.kernel, dtype=self.dtype, name="in_conv")(h)
         e = nn.Dense(c, dtype=self.dtype, name="emb_proj")(nn.silu(emb))
         # exchange_temb_dims: per-frame embedding broadcast over (h, w)
         h = h + e[:, :, None, None, :]
         h = nn.silu(GroupNorm32(name="out_norm")(h))
-        h = nn.Conv(
-            c, self.kernel, dtype=self.dtype, name="out_conv",
-            kernel_init=nn.initializers.zeros,
+        h = TemporalConv(
+            c, self.kernel, dtype=self.dtype, name="out_conv", zero_init=True,
         )(h)
         return x + h
 

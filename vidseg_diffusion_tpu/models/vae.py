@@ -67,13 +67,14 @@ class TemporalResnetBlock3D(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from vidseg_diffusion_tpu.models.unet import TemporalConv
+
         c = x.shape[-1]
         h = nn.silu(_norm("in_norm")(x))
-        h = nn.Conv(c, self.kernel, dtype=self.dtype, name="in_conv")(h)
+        h = TemporalConv(c, self.kernel, dtype=self.dtype, name="in_conv")(h)
         h = nn.silu(_norm("out_norm")(h))
-        h = nn.Conv(
-            c, self.kernel, dtype=self.dtype, name="out_conv",
-            kernel_init=nn.initializers.zeros,
+        h = TemporalConv(
+            c, self.kernel, dtype=self.dtype, name="out_conv", zero_init=True,
         )(h)
         return x + h
 
@@ -276,8 +277,11 @@ class Decoder(nn.Module):
             # (temporal_ae.py:86-108)
             bt, hh, ww, c = h.shape
             h5 = h.reshape(bt // timesteps, timesteps, hh, ww, c)
-            h5 = nn.Conv(
-                c, tuple(cfg.video_kernel_size), dtype=dt, name="conv_out_time_mix"
+            from vidseg_diffusion_tpu.models.unet import TemporalConv
+
+            h5 = TemporalConv(
+                c, tuple(cfg.video_kernel_size), dtype=dt,
+                name="conv_out_time_mix",
             )(h5)
             h = h5.reshape(bt, hh, ww, c)
         return h
