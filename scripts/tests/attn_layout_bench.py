@@ -46,6 +46,11 @@ def main():
 
     os.makedirs(".jax_cache", exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    print("backend:", jax.default_backend(), flush=True)
+    assert jax.default_backend() == "tpu", (
+        "TPU not available (claimed by another process?) — numbers would "
+        "be CPU garbage"
+    )
 
     from vidseg_diffusion_tpu.ops.attention import (
         flash_attention,

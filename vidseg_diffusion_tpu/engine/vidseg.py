@@ -825,6 +825,7 @@ class VidSegEngine:
         t_start: int,
         progress: Optional[Callable[[int, int], None]] = None,
         host_inj: Optional[Dict] = None,  # injected q/k kept in HOST RAM
+        on_run_done: Optional[Callable[[int, jnp.ndarray], None]] = None,
     ) -> jnp.ndarray:
         """Runs grid with host-level stepping: ONE jitted program = one
         Euler step (UNet forward + modulation + blending), reused across all
@@ -866,6 +867,27 @@ class VidSegEngine:
         mls = [masks_latent[r % m] for r in range(total)]
         xs = [x0] * total
         n_steps = sampler.num_steps - t_start
+
+        if host_inj is None and on_run_done is not None:
+            # runs OUTER: each run's final latent is available as soon as
+            # its last step is dispatched, so the caller can interleave
+            # downstream work (decode dispatches) with the next run's
+            # denoising — no end-of-stage dispatch bubble. Only valid
+            # without host-streamed injection (steps-outer streams each
+            # slice once for ALL runs).
+            for r in range(total):
+                x = x0
+                for i in range(t_start, sampler.num_steps):
+                    x = step_fn(
+                        None, x, i, sigmas[i], sigmas[i + 1],
+                        mts[r], mls[r], lams[r],
+                    )
+                xs[r] = x
+                on_run_done(r, x)
+                if progress is not None:
+                    progress(r + 1, total)
+            return jnp.stack(xs).reshape((2, m) + x0.shape)
+
         done = 0
         # steps OUTER, runs inner: every run consumes the same per-step
         # injected slice, so host→HBM streaming is once per STEP (≈1.1 GB)

@@ -470,6 +470,7 @@ def run_single_video(
     # the reference passes the same `latent` to every sample_video call,
     # svd_single_video_inference.py:497)
     mesh = None
+    interleaved: Dict[int, jnp.ndarray] = {}
     if use_mesh:
         from vidseg_diffusion_tpu.parallel.mesh import make_mesh
 
@@ -491,10 +492,20 @@ def run_single_video(
     elif args.runs_chunk <= 1 or host_inj is not None:
         # smallest compile unit: one jitted Euler step reused across all
         # steps and runs (see modulated_runs_host_stepped); also the only
-        # dispatch that can stream a host-offloaded injected cache
+        # dispatch that can stream a host-offloaded injected cache. When
+        # no cache streams, runs go OUTER and each run's decode dispatch
+        # is enqueued as soon as its denoise finishes — no decode-stage
+        # dispatch bubble after the runs stage.
+        on_run_done = None
+        if host_inj is None:
+            def on_run_done(r, x_final):
+                interleaved[r] = fs.jit_decode(
+                    fs.params_decoder, x_final, chunk=args.decoding_t
+                )
+
         finals = engine.modulated_runs_host_stepped(
             pipeline.unet_params, noised, c, uc, masks_block, masks_latent,
-            cache, t_start_mod, host_inj=host_inj,
+            cache, t_start_mod, host_inj=host_inj, on_run_done=on_run_done,
         )
     else:
         finals = engine.modulated_runs_host_chunked(
@@ -510,6 +521,9 @@ def run_single_video(
     flat = finals.reshape((-1,) + finals.shape[2:])
     if use_mesh:
         decoded = _decode_runs_sharded(fs, flat, args.decoding_t, mesh)
+    elif interleaved:
+        # decode dispatches already enqueued during the runs stage
+        decoded = jnp.stack([interleaved[i] for i in range(flat.shape[0])])
     else:
         decoded = jnp.stack([
             fs.jit_decode(fs.params_decoder, flat[i], chunk=args.decoding_t)
