@@ -132,3 +132,70 @@ def test_blhd_layout_matches_bhld():
     np.testing.assert_allclose(
         np.asarray(tr(got)), np.asarray(expected), atol=2e-5, rtol=2e-5
     )
+
+
+@pytest.mark.parametrize(
+    "b,h,lq,lk,d,fold",
+    [
+        (64, 5, 14, 14, 64, 16),   # temporal self-attn (fold 16 -> 224 rows)
+        (64, 5, 14, 14, 64, None), # auto fold
+        (32, 2, 14, 77, 16, 4),    # tiny-seq cross-attn, lq != lk
+        (30, 3, 7, 7, 32, 15),     # odd sizes, full-batch-divisor fold
+    ],
+)
+def test_small_batched_matches_reference_interpret(b, h, lq, lk, d, fold):
+    """The folded small-seq kernel (block-diagonal masked MXU tiles) must
+    match the per-problem reference exactly: cross-problem logits are masked
+    to -inf and underflow to 0 in the softmax, so P.V stays exact."""
+    from vidseg_diffusion_tpu.ops.attention import small_batched_attention
+
+    rng = jax.random.PRNGKey(11)
+    r1, r2, r3 = jax.random.split(rng, 3)
+    q = _rand(r1, b, lq, h, d)
+    k = _rand(r2, b, lk, h, d)
+    v = _rand(r3, b, lk, h, d)
+
+    expected = mha_reference(q, k, v, layout="blhd")
+    got = small_batched_attention(q, k, v, fold=fold, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expected), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_small_batched_bf16_interpret():
+    from vidseg_diffusion_tpu.ops.attention import small_batched_attention
+
+    rng = jax.random.PRNGKey(13)
+    r1, r2, r3 = jax.random.split(rng, 3)
+    q = _rand(r1, 28, 14, 5, 64).astype(jnp.bfloat16)
+    k = _rand(r2, 28, 14, 5, 64).astype(jnp.bfloat16)
+    v = _rand(r3, 28, 14, 5, 64).astype(jnp.bfloat16)
+    expected = mha_reference(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+        layout="blhd",
+    )
+    got = small_batched_attention(q, k, v, fold=14, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(expected), atol=2e-2, rtol=2e-2
+    )
+
+
+def test_single_key_shortcut_returns_v():
+    """lk == 1: softmax over one key is identically 1, so attention == V.
+    The dispatcher shortcuts this algebraically (SVD cross-attention context
+    is a single pooled CLIP token)."""
+    rng = jax.random.PRNGKey(17)
+    r1, r2, r3 = jax.random.split(rng, 3)
+    q = _rand(r1, 4, 32, 2, 16)
+    k = _rand(r2, 4, 1, 2, 16)
+    v = _rand(r3, 4, 1, 2, 16)
+    got = dot_product_attention(q, k, v, layout="blhd")
+    np.testing.assert_allclose(
+        np.asarray(got), np.broadcast_to(np.asarray(v), got.shape), rtol=1e-6
+    )
+    # and in bhld layout
+    tr = lambda t: t.transpose(0, 2, 1, 3)
+    got2 = dot_product_attention(tr(q), tr(k), tr(v), layout="bhld")
+    np.testing.assert_allclose(
+        np.asarray(got2), np.broadcast_to(np.asarray(tr(v)), got2.shape), rtol=1e-6
+    )

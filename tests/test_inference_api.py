@@ -81,3 +81,42 @@ def test_sdxl_cond_layout(sdxl_api):
     # prompt actually reaches the conditioning
     c2, _ = sdxl_api._make_cond(params, tokenize_empty(1), None, 2)
     assert float(np.abs(np.asarray(c["crossattn"] - c2["crossattn"])).max()) > 1e-6
+
+
+@pytest.fixture(scope="module")
+def refiner_api():
+    return SamplingPipeline(
+        build_pipeline("configs/inference/sd_xl_refiner_tiny.yaml")
+    )
+
+
+def test_refiner_latents_roundtrip(refiner_api):
+    """refiner(): img2img on base-model latents with skip-encode semantics
+    and aesthetic 6.0/2.5 conditioning (reference api.py:245-277)."""
+    from vidseg_diffusion_tpu.io.tokenizer import tokenize
+
+    tokens = tokenize(["a cat"], bpe_path=TINY_BPE)
+    z = np.random.RandomState(0).randn(1, 8, 8, 4).astype(np.float32)
+    params = SamplingParams(steps=4, img2img_strength=0.5)
+    out = refiner_api.refiner(params, z, tokens, rng=jax.random.PRNGKey(3))
+    assert out.shape == (1, 64, 64, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_refiner_cond_layout(refiner_api):
+    """vector = [bigG pooled | orig | crop | aesthetic]; uc uses the
+    negative aesthetic score but keeps sizes; uc text zeroed."""
+    from vidseg_diffusion_tpu.io.tokenizer import tokenize
+
+    tokens = tokenize(["cat"], bpe_path=TINY_BPE)
+    params = SamplingParams(
+        width=64, height=64, aesthetic_score=6.0, negative_aesthetic_score=2.5
+    )
+    c, uc = refiner_api._make_cond(params, tokens, None, 2)
+    assert c["crossattn"].shape == (2, 77, 48)
+    assert c["vector"].shape == (2, 48 + 2 * 16 + 2 * 16 + 16)
+    assert float(np.abs(np.asarray(uc["crossattn"])).max()) == 0.0
+    # aesthetic segment differs between c and uc; size segments match
+    cv, uv = np.asarray(c["vector"]), np.asarray(uc["vector"])
+    assert not np.allclose(cv[:, -16:], uv[:, -16:])
+    np.testing.assert_allclose(cv[:, 48:-16], uv[:, 48:-16])

@@ -142,6 +142,18 @@ def build_sampler(
     return cls(**kwargs), guider
 
 
+def _uniform_context_dim(cd) -> int:
+    """The reference accepts a per-level context_dim list (openaimodel.py
+    ContextDim handling; sd_xl_refiner.yaml:32 uses [1280, 1280, 1280, 1280]).
+    Every shipped config's list is uniform, and the model infers the actual
+    dim from the context array — collapse to the scalar, reject non-uniform."""
+    if isinstance(cd, (list, tuple)):
+        if len(set(cd)) != 1:
+            raise ValueError(f"non-uniform per-level context_dim unsupported: {cd}")
+        return cd[0]
+    return cd
+
+
 def build_unet_config(node: Dict[str, Any], dtype=jnp.float32) -> UNetConfig:
     name = _name(node["target"])
     p = node.get("params") or {}
@@ -159,7 +171,7 @@ def build_unet_config(node: Dict[str, Any], dtype=jnp.float32) -> UNetConfig:
             if isinstance(p.get("transformer_depth"), list)
             else p.get("transformer_depth", 1)
         ),
-        context_dim=p.get("context_dim", 1024),
+        context_dim=_uniform_context_dim(p.get("context_dim", 1024)),
         adm_in_channels=p.get("adm_in_channels"),
         video=video,
         merge_strategy=p.get("merge_strategy", "learned_with_images"),
@@ -220,9 +232,15 @@ def load_model_spec(
     Mirrors load_model's programmatic overrides of sampler num_steps and
     guider num_frames (svd_single_video_inference.py:570-578)."""
     root = load_yaml(path)["model"]["params"]
-    sampler, guider = build_sampler(
-        root["sampler_config"], num_steps=num_steps, num_frames=num_frames
-    )
+    # sampler_config is Optional on DiffusionEngine (models/diffusion.py:40);
+    # the reference's sd_xl_base/sd_xl_refiner/sd_2_1_768/svd_image_decoder
+    # YAMLs omit it (demo/API code supplies the sampler at call time).
+    if "sampler_config" in root:
+        sampler, guider = build_sampler(
+            root["sampler_config"], num_steps=num_steps, num_frames=num_frames
+        )
+    else:
+        sampler, guider = None, None
     return ModelSpec(
         unet_config=build_unet_config(root["network_config"], dtype=dtype),
         vae_config=build_vae_config(root["first_stage_config"], dtype=dtype),

@@ -43,6 +43,7 @@ from vidseg_diffusion_tpu.models.conditioner import (
     Conditioner,
     build_sd_text_conditioner,
     build_sdxl_conditioner,
+    build_sdxl_refiner_conditioner,
     build_svd_conditioner,
 )
 from vidseg_diffusion_tpu.models.unet import UNetModel
@@ -271,51 +272,36 @@ def build_pipeline(
             conditioner = build_svd_conditioner(clip_image_fn, vae_encode_fn)
             clip_apply = clip_image_fn
         elif "FrozenOpenCLIPEmbedder2" in targets:
-            # SDXL dual-text conditioner (sd_xl_base.yaml:35-73): HF CLIP-L
-            # hidden layer 11 + open_clip ViT-bigG penultimate w/ pooled
-            node_l = emb_models[targets.index("FrozenCLIPEmbedder")]
+            # SDXL text conditioners. Base (sd_xl_base.yaml:35-73): HF CLIP-L
+            # hidden layer 11 + open_clip ViT-bigG penultimate w/ pooled.
+            # Refiner (sd_xl_refiner.yaml:36-63): bigG only, no CLIP-L.
+            is_refiner = "FrozenCLIPEmbedder" not in targets
             node_g = emb_models[targets.index("FrozenOpenCLIPEmbedder2")]
-            tc_l = (node_l.get("params") or {}).get("text_cfg") or dict(
-                width=768, heads=12, layers=12
-            )
             tc_g = (node_g.get("params") or {}).get("text_cfg") or dict(
                 width=1280, heads=20, layers=32
-            )
-            text_l = CLIPTextTransformer(
-                CLIPTextConfig(dtype=dtype, act="quick_gelu", **tc_l),
-                penultimate=True, final_ln=False,
             )
             text_g = CLIPTextTransformer(
                 CLIPTextConfig(dtype=dtype, **tc_g),
                 penultimate=True, final_ln=False, return_pooled=True,
             )
-            tl_shapes = _param_shapes(
-                lambda: text_l.init(rng, jnp.zeros((1, 77), jnp.int32))
-            )
             tg_shapes = _param_shapes(
                 lambda: text_g.init(rng, jnp.zeros((1, 77), jnp.int32))
             )
+            # checkpoint layouts: base has embedders.0 = HF CLIPTextModel
+            # keys, embedders.1 = open_clip (packed-qkv) keys; the refiner's
+            # bigG is embedders.0
+            g_prefix = "conditioner.embedders.0.model." if is_refiner else (
+                "conditioner.embedders.1.model."
+            )
             if sd is not None:
-                # checkpoint layouts: embedders.0 = HF CLIPTextModel keys,
-                # embedders.1 = open_clip (packed-qkv) keys
-                lkeys = sub_dict(sd, "conditioner.embedders.0.transformer.")
-                tl_params, _ = convert_state_dict(
-                    tl_shapes, lkeys, hf_clip_text_key_fn, dtype=dtype
-                )
-                gkeys = split_packed_qkv(sub_dict(sd, "conditioner.embedders.1.model."))
+                gkeys = split_packed_qkv(sub_dict(sd, g_prefix))
                 tg_params, _ = convert_state_dict(
                     tg_shapes, gkeys, clip_text_key_fn, dtype=dtype
                 )
             else:
-                tl_params = _synthesize_params(tl_shapes, jax.random.fold_in(rng, 6), dtype)
                 tg_params = _synthesize_params(tg_shapes, jax.random.fold_in(rng, 7), dtype)
-            tl_params, tg_params = cast(tl_params), cast(tg_params)
-
-            _l_fwd = jax.jit(lambda p, t: text_l.apply({"params": p}, t))
+            tg_params = cast(tg_params)
             _g_fwd = jax.jit(lambda p, t: text_g.apply({"params": p}, t))
-
-            def clip_l_fn(tokens):
-                return _l_fwd(tl_params, tokens)
 
             def clip_g_fn(tokens):
                 return _g_fwd(tg_params, tokens)
@@ -325,10 +311,43 @@ def build_pipeline(
                 for e, t in zip(emb_models, targets)
                 if t == "ConcatTimestepEmbedderND"
             ]
-            conditioner = build_sdxl_conditioner(
-                clip_l_fn, clip_g_fn, size_outdim=outdims[0] if outdims else 256
-            )
-            clip_apply = clip_l_fn
+            size_outdim = outdims[0] if outdims else 256
+            if is_refiner:
+                conditioner = build_sdxl_refiner_conditioner(
+                    clip_g_fn, size_outdim=size_outdim
+                )
+                clip_apply = clip_g_fn
+            else:
+                node_l = emb_models[targets.index("FrozenCLIPEmbedder")]
+                tc_l = (node_l.get("params") or {}).get("text_cfg") or dict(
+                    width=768, heads=12, layers=12
+                )
+                text_l = CLIPTextTransformer(
+                    CLIPTextConfig(dtype=dtype, act="quick_gelu", **tc_l),
+                    penultimate=True, final_ln=False,
+                )
+                tl_shapes = _param_shapes(
+                    lambda: text_l.init(rng, jnp.zeros((1, 77), jnp.int32))
+                )
+                if sd is not None:
+                    lkeys = sub_dict(sd, "conditioner.embedders.0.transformer.")
+                    tl_params, _ = convert_state_dict(
+                        tl_shapes, lkeys, hf_clip_text_key_fn, dtype=dtype
+                    )
+                else:
+                    tl_params = _synthesize_params(
+                        tl_shapes, jax.random.fold_in(rng, 6), dtype
+                    )
+                tl_params = cast(tl_params)
+                _l_fwd = jax.jit(lambda p, t: text_l.apply({"params": p}, t))
+
+                def clip_l_fn(tokens):
+                    return _l_fwd(tl_params, tokens)
+
+                conditioner = build_sdxl_conditioner(
+                    clip_l_fn, clip_g_fn, size_outdim=size_outdim
+                )
+                clip_apply = clip_l_fn
         elif "FrozenOpenCLIPEmbedder" in targets:
             node = emb_models[targets.index("FrozenOpenCLIPEmbedder")]
             tc = (node.get("params") or {}).get("text_cfg") or {}

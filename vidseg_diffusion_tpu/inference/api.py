@@ -89,6 +89,10 @@ class SamplingParams:
     orig_height: int = 1024
     crop_coords_top: int = 0
     crop_coords_left: int = 0
+    # SDXL refiner aesthetic conditioning (reference api.py:60-61; the
+    # refiner() call overrides these to 6.0 / 2.5, api.py:245-268)
+    aesthetic_score: float = 5.0
+    negative_aesthetic_score: float = 5.0
 
 
 class SamplingPipeline:
@@ -152,6 +156,27 @@ class SamplingPipeline:
         force_uc_zero_embeddings=['txt'] for non-legacy specs)."""
         p = self.pipeline
         cond = p.conditioner
+        if cond is not None and getattr(cond, "kind", "") == "sdxl_refiner":
+            def pair(a, b):
+                return jnp.array([[float(a), float(b)]])
+
+            batch_c = {
+                "txt_tokens": jnp.asarray(prompt_tokens),
+                "original_size_as_tuple": pair(params.orig_height, params.orig_width),
+                "crop_coords_top_left": pair(params.crop_coords_top, params.crop_coords_left),
+                "aesthetic_score": jnp.array([[params.aesthetic_score]]),
+            }
+            batch_uc = dict(
+                batch_c,
+                aesthetic_score=jnp.array([[params.negative_aesthetic_score]]),
+            )
+            if negative_prompt_tokens is not None:
+                batch_uc["txt_tokens"] = jnp.asarray(negative_prompt_tokens)
+            c, uc = cond.get_unconditional_conditioning(
+                batch_c, batch_uc, force_uc_zero_embeddings=["txt_tokens"]
+            )
+            rep = lambda d: {k: jnp.repeat(v, batch_size, 0) for k, v in d.items()}
+            return rep(c), rep(uc)
         if cond is not None and getattr(cond, "kind", "") == "sdxl":
             def pair(a, b):
                 return jnp.array([[float(a), float(b)]])
@@ -219,6 +244,40 @@ class SamplingPipeline:
         c, uc = self._make_cond(params, prompt_tokens, negative_prompt_tokens, b)
         z = p.first_stage.encode(jnp.asarray(image))
         t_start = int(params.steps * (1.0 - params.img2img_strength))
+        r_noise, r_loop = jax.random.split(rng)
+        noised = sampler.add_noise(r_noise, z, noise_level=t_start)
+        zf, _ = sampler(
+            self._denoise_fn(c, uc, guider), noised, t_start=t_start, rng=r_loop
+        )
+        frames = p.first_stage.decode(zf)
+        return jnp.clip((frames + 1.0) / 2.0, 0.0, 1.0)
+
+    def refiner(
+        self,
+        params: SamplingParams,
+        latents,  # [B, h, w, z] base-model output latents (skip_encode)
+        prompt_tokens,
+        negative_prompt_tokens=None,
+        rng: Optional[jax.Array] = None,
+    ):
+        """Refine base-model latents with an SDXL-refiner pipeline: img2img
+        that skips the encode (reference api.py:245-277, do_img2img
+        skip_encode=True) with orig/crop sizes derived from the latents and
+        aesthetic scores 6.0 / 2.5."""
+        p = self.pipeline
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        z = jnp.asarray(latents)
+        b, h, w = z.shape[0], z.shape[1] * 8, z.shape[2] * 8
+        rp = dataclasses.replace(
+            params,
+            width=w, height=h, orig_width=w, orig_height=h,
+            crop_coords_top=0, crop_coords_left=0,
+            aesthetic_score=6.0, negative_aesthetic_score=2.5,
+        )
+        sampler = self._make_sampler(rp)
+        guider = self._guider(rp)
+        c, uc = self._make_cond(rp, prompt_tokens, negative_prompt_tokens, b)
+        t_start = int(rp.steps * (1.0 - rp.img2img_strength))
         r_noise, r_loop = jax.random.split(rng)
         noised = sampler.add_noise(r_noise, z, noise_level=t_start)
         zf, _ = sampler(

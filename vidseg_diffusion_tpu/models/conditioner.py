@@ -144,6 +144,38 @@ def build_sd_text_conditioner(
     )
 
 
+def build_sdxl_refiner_conditioner(
+    clip_g_fn: Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]],
+    size_outdim: int = 256,
+) -> Conditioner:
+    """SDXL refiner conditioner (configs/inference/sd_xl_refiner.yaml:36-63):
+    bigG text tower only (no CLIP-L), and the target-size embedder replaced
+    by an aesthetic-score embedder. Routing: crossattn = bigG hidden 1280 =
+    context_dim; vector = [bigG pooled 1280 | orig 512 | crop 512 |
+    aesthetic 256] = 2560 = adm_in_channels."""
+    return Conditioner(
+        embedders=(
+            EmbedderSpec("txt_tokens", clip_g_fn, name="clip_g"),
+            EmbedderSpec(
+                "original_size_as_tuple",
+                lambda v: concat_timestep_embedder(v, size_outdim),
+                name="orig_size",
+            ),
+            EmbedderSpec(
+                "crop_coords_top_left",
+                lambda v: concat_timestep_embedder(v, size_outdim),
+                name="crop_coords",
+            ),
+            EmbedderSpec(
+                "aesthetic_score",
+                lambda v: concat_timestep_embedder(v, size_outdim),
+                name="aesthetic",
+            ),
+        ),
+        kind="sdxl_refiner",
+    )
+
+
 def build_sdxl_conditioner(
     clip_l_fn: Callable[[jnp.ndarray], jnp.ndarray],
     clip_g_fn: Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]],

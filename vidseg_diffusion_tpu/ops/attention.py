@@ -31,6 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+_LOG2_E = math.log2(math.e)
 
 
 def mha_reference(
@@ -108,7 +109,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, kv_len,
     l_prev = l_ref[:]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_next = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_next)
+    # base-2 softmax: the caller folds log2(e) into the q pre-scale, so
+    # softmax2(s·log2e) == softmax(s) and the VPU runs its native exp2
+    # instead of exp's extra multiply per element
+    p = jnp.exp2(s - m_next)
     psum = jnp.sum(p, axis=-1, keepdims=True)
     pv = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -124,7 +128,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, kv_len,
         # single pass: no rescaling, no accumulator round-trip
         store((pv / psum).astype(o_ref.dtype))
     else:
-        alpha = jnp.exp(m_prev - m_next)
+        alpha = jnp.exp2(m_prev - m_next)
         l_next = alpha * l_prev + psum
         acc_ref[:] = acc_ref[:] * alpha + pv
         m_ref[:] = m_next
@@ -249,8 +253,10 @@ def flash_attention(
         )
         return jnp.moveaxis(out, 1, 2)
 
-    # fold the softmax scale into q: bq·d multiplies instead of bq·bk
-    qf = (q * jnp.asarray(scale, q.dtype)).reshape(b * h, lq, d)
+    # fold the softmax scale into q: bq·d multiplies instead of bq·bk.
+    # log2(e) rides along so the kernel's softmax runs in base 2 (exp2 is
+    # the VPU-native transcendental; see _flash_kernel).
+    qf = (q * jnp.asarray(scale * _LOG2_E, q.dtype)).reshape(b * h, lq, d)
     kf = k.reshape(b * h, lk, d)
     vf = v.reshape(b * h, lk, d)
     if lq_pad != lq:
@@ -334,7 +340,7 @@ def _flash_kernel_packed(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
         p_unscaled = None
         pv = None
         if nkb == 1:
-            p = jnp.exp(s - m_cur)
+            p = jnp.exp2(s - m_cur)
             psum = jnp.sum(p, axis=-1, keepdims=True)
             pv = jax.lax.dot_general(
                 p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
@@ -343,13 +349,13 @@ def _flash_kernel_packed(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
             o_ref[0, :, sl] = (pv / psum).astype(o_ref.dtype)
         else:
             m_next = jnp.maximum(m_prev, m_cur)
-            p = jnp.exp(s - m_next)
+            p = jnp.exp2(s - m_next)
             psum = jnp.sum(p, axis=-1, keepdims=True)
             pv = jax.lax.dot_general(
                 p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            alpha = jnp.exp(m_prev - m_next)
+            alpha = jnp.exp2(m_prev - m_next)
             acc_ref[:, sl] = acc_ref[:, sl] * alpha + pv
             m_ref[:, hh:hh + 1] = m_next
             l_ref[:, hh:hh + 1] = alpha * l_prev + psum
@@ -415,7 +421,7 @@ def flash_attention_packed(
     lq_pad = _round_up(lq, block_q)
     lk_pad = _round_up(lk, block_k)
 
-    qf = q * jnp.asarray(scale, q.dtype)
+    qf = q * jnp.asarray(scale * _LOG2_E, q.dtype)  # base-2 softmax prescale
     if lq_pad != lq:
         qf = jnp.pad(qf, ((0, 0), (0, lq_pad - lq), (0, 0)))
     kf, vf = k, v
@@ -453,9 +459,112 @@ def flash_attention_packed(
     return out[:, :lq]
 
 
+def _small_seq_kernel(q_ref, k_ref, v_ref, o_ref, *, lq, lk, heads, d, fold):
+    """All heads of `fold` independent tiny attention problems in one tile.
+
+    Blocks are [1, fold·lq, H·D] / [1, fold·lk, H·D] row-major foldings of
+    [B, L, H·D] (pure reshape — no relayout). Per head, ONE [fold·lq, fold·lk]
+    MXU dot computes every problem's logits at once; the off-block-diagonal
+    cross-problem entries are masked to -inf, so they underflow to exactly 0
+    in the softmax and the P·V dot stays exact. The fold× extra MXU work is
+    far cheaper than the HBM inflation the unfolded XLA path pays (a
+    [*, t, t] f32 logits tensor tiles t=14 → 128 lanes: 10× traffic)."""
+    q = q_ref[0]  # [fold·lq, H·D] (pre-scaled by scale·log2e)
+    k = k_ref[0]  # [fold·lk, H·D]
+    v = v_ref[0]
+    rows, cols = fold * lq, fold * lk
+    qg = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) // lq
+    kg = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1) // lk
+    same = qg == kg
+    for hh in range(heads):
+        sl = slice(hh * d, (hh + 1) * d)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [rows, cols] f32, cross-problem entries garbage
+        s = jnp.where(same, s, DEFAULT_MASK_VALUE)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)  # masked entries underflow to exactly 0
+        psum = jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, sl] = (pv / psum).astype(o_ref.dtype)
+
+
+def _best_fold(b: int, lq: int, lk: int, hd: int, rows_cap: int = 512) -> int:
+    """Largest divisor of B whose folded tile fits the rows cap AND the VMEM
+    budget (q/k/v/out blocks double-buffered + one head's f32 logits)."""
+    cap = max(1, rows_cap // max(lq, lk))
+    budget = 12 * 1024 * 1024
+    for f in range(cap, 0, -1):
+        if b % f:
+            continue
+        rows, cols = f * lq, f * lk
+        if (2 * rows + 2 * cols) * _round_up(hd, 128) * 2 * 2 + rows * cols * 4 <= budget:
+            return f
+    return 1
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "fold", "interpret")
+)
+def small_batched_attention(
+    q: jax.Array,  # [B, Lq, H, D]
+    k: jax.Array,  # [B, Lk, H, D]
+    v: jax.Array,
+    scale: Optional[float] = None,
+    fold: Optional[int] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Batched tiny-sequence attention (temporal attention: L=t=14, B=2·s up
+    to ~12k). Folds `fold` problems into each Pallas program so the MXU sees
+    ~512-row tiles instead of 14-row ones, and the f32 logits never leave
+    VMEM (the XLA path materializes them to HBM with 14→128 lane padding)."""
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if fold is None:
+        fold = _best_fold(b, lq, lk, h * d)
+    assert b % fold == 0, (b, fold)
+    hd = h * d
+    qf = (q * jnp.asarray(scale * _LOG2_E, q.dtype)).reshape(
+        b // fold, fold * lq, hd
+    )
+    kf = k.reshape(b // fold, fold * lk, hd)
+    vf = v.reshape(b // fold, fold * lk, hd)
+    out = pl.pallas_call(
+        functools.partial(
+            _small_seq_kernel, lq=lq, lk=lk, heads=h, d=d, fold=fold
+        ),
+        grid=(b // fold,),
+        in_specs=[
+            pl.BlockSpec((1, fold * lq, hd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, fold * lk, hd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, fold * lk, hd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, fold * lq, hd), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b // fold, fold * lq, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(b, lq, h, d)
+
+
 # Below this sequence length the jnp path is both faster (no padding waste)
 # and exactly what XLA fuses best; the kernel wins on long spatial sequences.
 _FLASH_MIN_SEQ = 512
+# Minimum folded tile rows for the small-seq kernel to beat the jnp path
+# (tiny folds leave the MXU idle and the grid overhead dominant).
+_SMALL_MIN_ROWS = 112
 
 
 def dot_product_attention(
@@ -472,14 +581,27 @@ def dot_product_attention(
     layout='blhd' consumes projection-native [B, L, H, D] (see
     flash_attention)."""
     l_axis = 1 if layout == "blhd" else 2
+    lq, lk = q.shape[l_axis], k.shape[l_axis]
+    if lk == 1 and force_flash is None:
+        # softmax over a single key is identically 1 → attention returns V
+        # verbatim. The SVD cross-attention context is one pooled CLIP token
+        # (conditioner.py clip_pred), so this shortcut removes the entire
+        # [B, H, L, 1] logits/softmax (tiled 1 → 128 lanes in HBM by XLA).
+        shape = list(v.shape)
+        shape[l_axis] = lq
+        return jnp.broadcast_to(v, shape).astype(q.dtype)
     use_flash = force_flash
     if use_flash is None:
         on_tpu = jax.default_backend() == "tpu"
-        use_flash = (
+        if (
             on_tpu
-            and q.shape[l_axis] >= _FLASH_MIN_SEQ
-            and k.shape[l_axis] >= _FLASH_MIN_SEQ
-        )
+            and layout == "blhd"
+            and max(lq, lk) < _FLASH_MIN_SEQ
+        ):
+            fold = _best_fold(q.shape[0], lq, lk, q.shape[2] * q.shape[3])
+            if fold * lq >= _SMALL_MIN_ROWS:
+                return small_batched_attention(q, k, v, scale=scale, fold=fold)
+        use_flash = on_tpu and lq >= _FLASH_MIN_SEQ and lk >= _FLASH_MIN_SEQ
     if use_flash:
         return flash_attention(q, k, v, scale=scale, layout=layout)
     return mha_reference(q, k, v, scale=scale, layout=layout)
