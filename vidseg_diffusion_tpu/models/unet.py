@@ -204,6 +204,21 @@ class TemporalConv(nn.Module):
             "kernel", init, (kt, kh, kw, cin, self.features)
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+        from vidseg_diffusion_tpu.ops.temporal_conv import (
+            temporal_conv_1x1, use_pallas_temporal_conv,
+        )
+        if use_pallas_temporal_conv(self.kernel, cin, self.features, t):
+            # Fused Pallas path: all taps in one HBM pass, plain MXU dots
+            # (the per-tap lowering below lands in a ~12%-efficient XLA conv
+            # emitter on TPU — see ops/temporal_conv.py).
+            y = temporal_conv_1x1(
+                x.reshape(b, t, hh * ww, cin).astype(self.dtype),
+                kernel[:, 0, 0].astype(self.dtype),
+                bias,
+            )
+            return y.reshape(b, t, hh, ww, self.features)
+
         pad = kt // 2
         xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (0, 0), (0, 0)))
         out = None
@@ -211,7 +226,14 @@ class TemporalConv(nn.Module):
             xj = xp[:, j:j + t].reshape(b * t, hh, ww, cin).astype(self.dtype)
             wj = kernel[j].astype(self.dtype)  # [kh, kw, cin, cout]
             if kh == 1 and kw == 1:
-                y = jnp.einsum("bhwc,cd->bhwd", xj, wj[0, 0])
+                # Flat [M,K]@[K,N] matmul, NOT einsum 'bhwc,cd->bhwd': XLA:TPU
+                # lowers the latter through 01bf_io01 conv emitters at ~12% MXU
+                # efficiency (measured 53 ms/step across the time_stack sites);
+                # the explicit dot is ~6x faster at the same shapes
+                # (scripts/tests/temporal_conv_tune.py) and bit-identical.
+                y = (xj.reshape(b * t * hh * ww, cin) @ wj[0, 0]).reshape(
+                    b * t, hh, ww, self.features
+                )
             else:
                 y = jax.lax.conv_general_dilated(
                     xj, wj, (1, 1), "SAME",
@@ -235,6 +257,11 @@ class TemporalResBlock3D(nn.Module):
     def __call__(self, x: jax.Array, emb: jax.Array) -> jax.Array:
         # x: [b, t, h, w, c]; emb: [b, t, E]
         c = x.shape[-1]
+        # NOTE (measured, do not redo): fusing these norms into the Pallas
+        # GN+SiLU kernel (fuse_silu=True) to dodge the standalone-stats
+        # relayout the Pallas temporal conv induces was a net LOSS
+        # (+8 ms/step): the GN custom call breaks the surrounding
+        # elementwise fusions (+22 ms of %fusion) for -21 ms of stats.
         h = nn.silu(GroupNorm32(name="in_norm")(x))
         h = TemporalConv(c, self.kernel, dtype=self.dtype, name="in_conv")(h)
         e = nn.Dense(c, dtype=self.dtype, name="emb_proj")(nn.silu(emb))

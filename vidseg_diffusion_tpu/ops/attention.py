@@ -413,8 +413,16 @@ def flash_attention_packed(
         return io * 2 + work                        # io double-buffered
 
     budget = 13 * 1024 * 1024
-    while vmem_bytes(block_q, block_k) > budget and block_k > 128:
-        block_k = max(128, block_k // 2)
+    if vmem_bytes(block_q, block_k) > budget:
+        # largest VMEM-fitting block_k, preferring exact divisors of lk
+        # (non-divisor blocks turn on tail masking, an iota+select over
+        # every logits block in this VPU-bound kernel)
+        fits = [
+            c for c in range(128, block_k + 1, 8)
+            if vmem_bytes(block_q, c) <= budget
+        ]
+        divs = [c for c in fits if lk % c == 0]
+        block_k = max(divs or fits or [128])
     while vmem_bytes(block_q, block_k) > budget and block_q > 128:
         block_q = max(128, block_q // 2)
 
@@ -603,5 +611,19 @@ def dot_product_attention(
                 return small_batched_attention(q, k, v, scale=scale, fold=fold)
         use_flash = on_tpu and lq >= _FLASH_MIN_SEQ and lk >= _FLASH_MIN_SEQ
     if use_flash:
+        if layout == "blhd":
+            # Packed all-heads kernel: consumes the projections' [B, L, H·D]
+            # packing directly — the bhld 3-D kernel would pay a physical
+            # l↔h transpose per tensor (~4 ms per ds1 site on v5e, see
+            # scripts/tests/attn_layout_bench.py).
+            b, lq_, h, d = q.shape
+            lk_ = k.shape[1]
+            out = flash_attention_packed(
+                q.reshape(b, lq_, h * d),
+                k.reshape(b, lk_, h * d),
+                v.reshape(b, lk_, h * d),
+                heads=h, scale=scale,
+            )
+            return out.reshape(b, lq_, h, d)
         return flash_attention(q, k, v, scale=scale, layout=layout)
     return mha_reference(q, k, v, scale=scale, layout=layout)
