@@ -111,7 +111,9 @@ def main():
     n = 4096
     a = jax.device_put(np.ones((n, n), np.float32), dev)
 
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(1,))
     def chain(a, reps):
         def body(x, _):
             return x @ a * (1.0 / n), None
@@ -146,7 +148,11 @@ def main():
     # step (steps-outer dispatch streams each slice once for ALL runs)
     drain_bytes = slice_bytes * W_STEPS
     stream_bytes = slice_bytes * W_STEPS
-    base_compute_s = 89.2  # measured non-injected swan e2e (BENCH_E2E.json)
+    # measured non-injected swan e2e total (same file this merges into)
+    base_compute_s = 75.9
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            base_compute_s = float(json.load(f).get("total_s", base_compute_s))
 
     def model(gbps_d2h, gbps_h2d, ov):
         drain = drain_bytes / 1e9 / gbps_d2h

@@ -67,3 +67,24 @@ def test_dispatcher_torch_semantics():
         ref = gn(torch.from_numpy(x.transpose(0, 4, 1, 2, 3).reshape(2, 64, -1)))
     ref = ref.numpy().reshape(2, 64, 3, 6, 8).transpose(0, 2, 3, 4, 1)
     np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5, rtol=1e-5)
+
+
+def test_group_norm_split_matches_reference():
+    """Split mode (Pallas stats + XLA apply): same math as the reference at
+    fp32-stats tolerance, any rank, with and without the fused SiLU."""
+    from vidseg_diffusion_tpu.ops.norm import group_norm_split
+
+    for shape, g in [((2, 14, 8, 8, 32), 32), ((3, 40, 16, 64), 16),
+                     ((2, 7, 13, 320), 32)]:
+        k = jax.random.PRNGKey(0)
+        x = jax.random.normal(k, shape, jnp.float32)
+        scale = jax.random.normal(jax.random.fold_in(k, 1), (shape[-1],))
+        bias = jax.random.normal(jax.random.fold_in(k, 2), (shape[-1],))
+        for silu in (False, True):
+            got = group_norm_split(
+                x, scale, bias, groups=g, silu=silu, interpret=True
+            )
+            ref = group_norm_reference(x, scale, bias, groups=g, silu=silu)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), atol=1e-4
+            )

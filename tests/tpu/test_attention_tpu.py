@@ -1,8 +1,8 @@
 """On-TPU flash-attention parity + perf checks.
 
-Run with: JAX_PLATFORMS='' python -m pytest tests/tpu -q
-(the main suite forces CPU via conftest; this directory has its own conftest
-that leaves the platform alone and skips without a TPU)."""
+Run with: VIDSEG_TESTS_TPU=1 python -m pytest tests/tpu -q
+(the main suite forces CPU via conftest; that flag makes it leave the
+platform alone, and these tests skip on non-TPU backends)."""
 
 import numpy as np
 import jax

@@ -71,6 +71,91 @@ def _pick_tile(m: int, w: int, c: int, itemsize: int) -> int:
     return best
 
 
+def _pad_to_tiles(x4):
+    """Pad the row axis to an aligned tile (stats-neutral: pads contribute 0
+    to both sums; divisors use the true element count)."""
+    b, m, w, c = x4.shape
+    tm = _pick_tile(m, w, c, x4.dtype.itemsize)
+    if tm == 0:
+        tm = max(1, _TILE_BYTES // (w * c * x4.dtype.itemsize))
+        pad = (-m) % tm
+        x4 = jnp.pad(x4, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    return x4, tm, x4.shape[1] // tm
+
+
+def _stats_pallas(x4, tm, nm, interpret=False):
+    """One-read per-channel (sum, sum-of-squares) over [B, M, W, C] rows."""
+    b, _, w, c = x4.shape
+    return pl.pallas_call(
+        _stats_kernel,
+        grid=(b, nm),
+        in_specs=[
+            pl.BlockSpec((1, tm, w, c), lambda bb, mb: (bb, mb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, c), lambda bb, mb: (bb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 2, c), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x4)
+
+
+def _affine_from_stats(stats, scale, bias, groups, eps, n_spatial):
+    """Fold per-group stats into a per-channel affine (tiny [B, C] math)."""
+    b, _, c = stats.shape
+    n = n_spatial * (c // groups)
+    gsum = stats[:, 0].reshape(b, groups, c // groups).sum(-1)   # [B, G]
+    gss = stats[:, 1].reshape(b, groups, c // groups).sum(-1)
+    mean = gsum / n
+    var = gss / n - mean * mean
+    inv = jax.lax.rsqrt(var + eps)                                # [B, G]
+    per_ch = lambda g: jnp.repeat(g, c // groups, axis=1)         # [B, C]
+    a = per_ch(inv) * scale[None, :].astype(jnp.float32)
+    bsh = (
+        bias[None, :].astype(jnp.float32)
+        - per_ch(mean * inv) * scale[None, :].astype(jnp.float32)
+    )
+    return a, bsh
+
+
+@functools.partial(
+    jax.jit, static_argnames=("groups", "eps", "silu", "interpret")
+)
+def group_norm_split(
+    x: jax.Array,            # [B, ..., C]
+    scale: jax.Array,
+    bias: jax.Array,
+    *,
+    groups: int = 32,
+    eps: float = 1e-5,
+    silu: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas STATS pass + plain-XLA normalize(+SiLU).
+
+    Rationale: XLA fuses the (sum, sumsq) reduction into the PRECEDING
+    convolution's output stage, and that epilogue costs the conv emitter
+    ~2.5x — the swan profile's conv+stats kOutput fusions run at 56-86
+    TF/s while stat-free matmul convs hit 150-180. Computing the stats in
+    a one-read Pallas pass leaves the conv clean, while the apply stays an
+    XLA elementwise fusion free to merge with its neighbors (unlike the
+    full group_norm_silu custom call, which measurably breaks them)."""
+    shape = x.shape
+    b, w, c = shape[0], shape[-2], shape[-1]
+    m = x.size // (b * w * c)
+    x4, tm, nm = _pad_to_tiles(x.reshape(b, m, w, c))
+    stats = _stats_pallas(x4, tm, nm, interpret=interpret)
+    a, bsh = _affine_from_stats(stats, scale, bias, groups, eps, m * w)
+    bcast = (b,) + (1,) * (x.ndim - 2) + (c,)
+    y = x.astype(jnp.float32) * a.reshape(bcast) + bsh.reshape(bcast)
+    if silu:
+        y = y * jax.nn.sigmoid(y)
+    return y.astype(x.dtype)
+
+
 @functools.partial(
     jax.jit, static_argnames=("groups", "eps", "silu", "interpret")
 )
@@ -86,42 +171,9 @@ def group_norm_silu(
 ) -> jax.Array:
     b, m, w, c = x.shape
     assert c % groups == 0, (c, groups)
-    tm = _pick_tile(m, w, c, x.dtype.itemsize)
-    if tm == 0:  # no aligned divisor: pad (stats-neutral, see module doc)
-        tm = max(1, _TILE_BYTES // (w * c * x.dtype.itemsize))
-        pad = (-m) % tm
-        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
-    nm = x.shape[1] // tm
-
-    stats = pl.pallas_call(
-        _stats_kernel,
-        grid=(b, nm),
-        in_specs=[
-            pl.BlockSpec((1, tm, w, c), lambda bb, mb: (bb, mb, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 2, c), lambda bb, mb: (bb, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 2, c), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(x)
-
-    # fold group stats into a per-channel affine (tiny [B, C] math)
-    n = m * w * (c // groups)
-    gsum = stats[:, 0].reshape(b, groups, c // groups).sum(-1)   # [B, G]
-    gss = stats[:, 1].reshape(b, groups, c // groups).sum(-1)
-    mean = gsum / n
-    var = gss / n - mean * mean
-    inv = jax.lax.rsqrt(var + eps)                                # [B, G]
-    per_ch = lambda g: jnp.repeat(g, c // groups, axis=1)         # [B, C]
-    a = per_ch(inv) * scale[None, :].astype(jnp.float32)
-    bsh = (
-        bias[None, :].astype(jnp.float32)
-        - per_ch(mean * inv) * scale[None, :].astype(jnp.float32)
-    )
+    x, tm, nm = _pad_to_tiles(x)
+    stats = _stats_pallas(x, tm, nm, interpret=interpret)
+    a, bsh = _affine_from_stats(stats, scale, bias, groups, eps, m * w)
 
     out = pl.pallas_call(
         functools.partial(_apply_kernel, silu=silu),
