@@ -199,3 +199,28 @@ def test_single_key_shortcut_returns_v():
     np.testing.assert_allclose(
         np.asarray(got2), np.broadcast_to(np.asarray(tr(v)), got2.shape), rtol=1e-6
     )
+
+
+def test_packed_flash_under_vmap():
+    """flash_attention_packed must batch correctly under vmap (the
+    modulated-runs dispatch vmaps the whole UNet over the runs axis)."""
+    from vidseg_diffusion_tpu.ops.attention import (
+        flash_attention_packed,
+        mha_reference,
+    )
+
+    k = jax.random.PRNGKey(11)
+    r, b, l, h, d = 2, 1, 640, 2, 32
+    q = jax.random.normal(k, (r, b, l, h * d), jnp.float32) * 0.1
+    kk = jax.random.normal(jax.random.fold_in(k, 1), (r, b, l, h * d)) * 0.1
+    v = jax.random.normal(jax.random.fold_in(k, 2), (r, b, l, h * d)) * 0.1
+    got = jax.vmap(
+        lambda a, bq, c: flash_attention_packed(a, bq, c, heads=h, interpret=True)
+    )(q, kk, v)
+    ref = jax.vmap(
+        lambda a, bq, c: mha_reference(
+            a.reshape(b, l, h, d), bq.reshape(b, l, h, d),
+            c.reshape(b, l, h, d), layout="blhd",
+        ).reshape(b, l, h * d)
+    )(q, kk, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3)

@@ -64,3 +64,42 @@ def test_dispatcher_predicate():
     assert not use_pallas_temporal_conv((3, 1, 1), 320, 320, 14)
     assert use_pallas_temporal_conv((3, 1, 1), 320, 320, 14, force=True)
     assert not use_pallas_temporal_conv((3, 3, 3), 320, 320, 14, force=None) or True
+
+
+def test_matmul_bias_matches_reference():
+    from vidseg_diffusion_tpu.ops.matmul import matmul_bias
+
+    k = jax.random.PRNGKey(3)
+    for (m, kk, n) in [(1456, 320, 320), (100, 64, 128), (364, 1280, 640)]:
+        x = jax.random.normal(k, (m, kk), jnp.float32)
+        w = jax.random.normal(jax.random.fold_in(k, 1), (kk, n)) * 0.05
+        bias = jax.random.normal(jax.random.fold_in(k, 2), (n,))
+        got = matmul_bias(x, w, bias, interpret=True)
+        ref = x @ w + bias
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4)
+
+
+def test_kernels_under_vmap():
+    """The modulated-runs dispatch vmaps the UNet over the runs axis
+    (engine jit_run_vmapped); the Pallas kernels must batch correctly."""
+    from vidseg_diffusion_tpu.ops.matmul import matmul_bias
+
+    k = jax.random.PRNGKey(7)
+    # temporal conv under vmap
+    x = jax.random.normal(k, (3, 1, 4, 40, 64), jnp.float32)  # [R, B, T, M, C]
+    w = jax.random.normal(jax.random.fold_in(k, 1), (3, 64, 64)) * 0.05
+    bias = jnp.zeros((64,))
+    got = jax.vmap(
+        lambda xi: temporal_conv_1x1(xi, w, bias, interpret=True)
+    )(x)
+    ref = jax.vmap(lambda xi: temporal_conv_1x1_reference(xi, w, bias))(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    # projection matmul under vmap
+    xm = jax.random.normal(k, (3, 96, 64), jnp.float32)
+    wm = jax.random.normal(jax.random.fold_in(k, 2), (64, 128)) * 0.05
+    bm = jax.random.normal(jax.random.fold_in(k, 3), (128,))
+    got = jax.vmap(lambda xi: matmul_bias(xi, wm, bm, interpret=True))(xm)
+    ref = xm @ wm + bm
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
