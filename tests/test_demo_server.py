@@ -52,19 +52,58 @@ def test_generate_txt2img_png(server_url):
     assert arr.shape == (64, 64, 3) and arr.std() > 0
 
 
-def test_generate_img2img(server_url, tmp_path):
+def test_generate_img2img(tmp_path):
+    # img2img needs a server whose --init-root covers the init image: paths
+    # outside it are rejected (the advisor's arbitrary-path-read fix)
     from PIL import Image
+
+    from serve import DemoApp, make_handler
 
     init = tmp_path / "init.png"
     Image.fromarray(
         np.random.RandomState(0).randint(0, 255, (64, 64, 3), dtype=np.uint8)
     ).save(init)
+    app = DemoApp(
+        "configs/inference/sd_tiny.yaml", default_size=64,
+        init_root=str(tmp_path),
+    )
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(app))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        form = urllib.parse.urlencode({
+            "prompt": "", "steps": 4, "width": 64, "height": 64,
+            "init_path": "init.png", "strength": 0.5,
+        }).encode()
+        resp = urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.server_address[1]}/generate",
+            data=form, timeout=600,
+        )
+        assert resp.headers["Content-Type"] == "image/png"
+    finally:
+        srv.shutdown()
+
+
+def test_init_path_outside_root_rejected(server_url, tmp_path):
+    # absolute path outside --init-root must be refused, not opened
+    from PIL import Image
+
+    init = tmp_path / "esc.png"
+    Image.fromarray(
+        np.zeros((16, 16, 3), dtype=np.uint8)
+    ).save(init)
     form = urllib.parse.urlencode({
-        "prompt": "", "steps": 4, "width": 64, "height": 64,
-        "init_path": str(init), "strength": 0.5,
+        "prompt": "", "steps": 2, "width": 64, "height": 64,
+        "init_path": str(init),
     }).encode()
-    resp = urllib.request.urlopen(server_url + "/generate", data=form, timeout=600)
-    assert resp.headers["Content-Type"] == "image/png"
+    try:
+        urllib.request.urlopen(server_url + "/generate", data=form, timeout=120)
+        assert False, "expected HTTP 500 (path escapes --init-root)"
+    except urllib.error.HTTPError as e:
+        assert e.code == 500
+        import json
+
+        assert "escapes" in json.loads(e.read())["error"]
 
 
 def test_generate_error_is_json(server_url):
