@@ -58,7 +58,12 @@ def tapsw(x, w):
     return out.reshape(b, h, ww_, c)
 
 
-VARIANTS = {"nhwc": nhwc, "rows1d": rows1d, "tapsw": tapsw}
+def pallas9(x, w):
+    from vidseg_diffusion_tpu.ops.conv3x3 import conv3x3_same
+    return conv3x3_same(x, w, jnp.zeros((w.shape[-1],), x.dtype))
+
+
+VARIANTS = {"nhwc": nhwc, "rows1d": rows1d, "tapsw": tapsw, "pallas9": pallas9}
 
 
 def main():

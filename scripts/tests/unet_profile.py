@@ -25,6 +25,44 @@ import jax
 PEAK_BF16 = {"TPU v5 lite": 197e12, "TPU v5": 459e12, "TPU v4": 275e12}
 
 
+def custom_call_flops(hlo_text: str) -> float:
+    """Analytic FLOPs of the Pallas custom calls, which XLA cost_analysis
+    scores as ZERO — without this, MFU under-reports by the whole attention
+    + temporal-conv + projection share (~9 TF/step at swan scale).
+
+    Shapes come from each call's operand_layout_constraints. The
+    small_batched_attention fold is counted at its algorithmic cost is not
+    recoverable from the folded operands, so it is skipped (<0.5 TF)."""
+    import re
+
+    total = 0.0
+    for m in re.finditer(
+        r"%(\w+)[\w.\-]* = .*? custom-call\(.*?"
+        r"operand_layout_constraints=\{([^}]*)\}",
+        hlo_text,
+    ):
+        kind = m.group(1)
+        shapes = [
+            [int(d) for d in dims.split(",") if d]
+            for dims in re.findall(r"\w+\[([\d,]*)\]", m.group(2))
+        ]
+        if kind.startswith("temporal_conv_1x1"):
+            (b, t, mm, cin), (kt, _, cout) = shapes[0], shapes[1]
+            total += 2.0 * kt * b * t * mm * cin * cout
+        elif kind.startswith("flash_attention_packed"):
+            (b, lq, hd), (_, lk, _) = shapes[0], shapes[1]
+            total += 4.0 * b * lq * lk * hd
+        elif kind.startswith("flash_attention"):
+            (bh, lq, d), (_, lk, _) = shapes[0], shapes[1]
+            total += 4.0 * bh * lq * lk * d
+        elif kind.startswith("matmul_bias"):
+            (mm, k), (_, n) = shapes[0], shapes[1]
+            total += 2.0 * mm * k * n
+        elif kind.startswith("group_norm"):
+            pass  # bandwidth-bound; negligible flops
+    return total
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--logdir", default="/tmp/xprof_unet")
@@ -41,17 +79,21 @@ def main():
     ca = compiled.cost_analysis()
     ca = ca[0] if isinstance(ca, list) else ca
     flops = float(ca.get("flops", 0.0))
+    cc_flops = custom_call_flops(compiled.as_text())
     bytes_acc = float(ca.get("bytes accessed", 0.0))
     kind = jax.devices()[0].device_kind
     peak = PEAK_BF16.get(kind)
-    mfu = flops / dt / peak if peak else None
+    total_flops = flops + cc_flops
+    mfu = total_flops / dt / peak if peak else None
 
     out = {
         "device": kind,
         "step_ms": round(dt * 1e3, 2),
         "params_b": round(n_params / 1e9, 3),
-        "flops_per_step": flops,
-        "tflops_per_sec": round(flops / dt / 1e12, 1),
+        "flops_per_step": total_flops,
+        "flops_xla": flops,
+        "flops_custom_calls": cc_flops,
+        "tflops_per_sec": round(total_flops / dt / 1e12, 1),
         "peak_bf16_tflops": peak / 1e12 if peak else None,
         "mfu": round(mfu, 4) if mfu is not None else None,
         "bytes_accessed_per_step": bytes_acc,

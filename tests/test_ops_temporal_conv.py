@@ -80,6 +80,25 @@ def test_matmul_bias_matches_reference():
                                    atol=2e-4)
 
 
+def test_conv3x3_matches_reference():
+    from vidseg_diffusion_tpu.ops.conv3x3 import (
+        conv3x3_same, conv3x3_reference)
+
+    k = jax.random.PRNGKey(11)
+    # shapes chosen so h splits into >1 row-blocks (halo path) and cout
+    # both fits one n-block and needs several
+    for (b, h, w_, cin, cout) in [(2, 8, 12, 32, 32), (1, 6, 10, 16, 48),
+                                  (2, 4, 7, 8, 8)]:
+        x = jax.random.normal(k, (b, h, w_, cin), jnp.float32) * 0.3
+        w = jax.random.normal(jax.random.fold_in(k, 1),
+                              (3, 3, cin, cout)) * 0.1
+        bias = jax.random.normal(jax.random.fold_in(k, 2), (cout,))
+        got = conv3x3_same(x, w, bias, interpret=True)
+        ref = conv3x3_reference(x, w, bias)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4)
+
+
 def test_kernels_under_vmap():
     """The modulated-runs dispatch vmaps the UNet over the runs axis
     (engine jit_run_vmapped); the Pallas kernels must batch correctly."""

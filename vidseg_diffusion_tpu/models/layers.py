@@ -318,7 +318,19 @@ class CrossAttention(nn.Module):
         # attention site runs with ZERO relayout copies (the old head-major
         # [B, H, L, D] layout cost a physical l↔h transpose per tensor —
         # ~3.9 GB/step in the r2 HLO dump).
+        from vidseg_diffusion_tpu.ops.matmul import matmul_bias, use_pallas_matmul
+
         def proj(t, w):
+            bl = t.shape[0] * t.shape[1]
+            if use_pallas_matmul(bl, t.shape[-1], inner):
+                # Pallas dot (~150 TF/s) — XLA's emitter choice for these
+                # projections ranges 21-110 TF/s depending on which
+                # epilogues fuse in (see ops/matmul.py)
+                y = matmul_bias(
+                    t.reshape(bl, t.shape[-1]), w.astype(self.dtype),
+                    jnp.zeros((inner,), self.dtype),
+                )
+                return y.reshape(t.shape[0], t.shape[1], h, dh)
             return jnp.einsum(
                 "blc,chd->blhd", t, w.astype(self.dtype).reshape(-1, h, dh)
             )
@@ -344,6 +356,19 @@ class CrossAttention(nn.Module):
 
         out = dot_product_attention(q, k, v, layout="blhd")
         wo, bo = _Kernel((inner, out_dim), bias=True, name="to_out")()
+
+        if use_pallas_matmul(b * lq, inner, out_dim):
+            # Pallas out-projection: XLA fuses the downstream residual /
+            # AlphaBlender epilogues into this matmul and lands it in the
+            # batch-in-sublanes conv emitter at ~21 TF/s (30 ms/step across
+            # the spatial+temporal sites — see ops/matmul.py). The adds stay
+            # in XLA as pure-bandwidth fusions.
+            y = matmul_bias(
+                out.reshape(b * lq, inner),
+                wo.astype(self.dtype),
+                bo.astype(self.dtype),
+            )
+            return y.reshape(b, lq, out_dim)
         return (
             jnp.einsum(
                 "blhd,hdc->blc", out, wo.astype(self.dtype).reshape(h, dh, out_dim)

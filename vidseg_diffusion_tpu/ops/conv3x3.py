@@ -1,0 +1,145 @@
+"""Pallas 3x3 SAME conv as 9 shifted MXU dots (experimental).
+
+XLA:TPU's NHWC 3x3 emitter tops out at ~81 TF/s at the swan ResBlock
+shapes ([28,56,104,320]) while plain matmuls on the same operands run at
+~150 (scripts/tests/conv3x3_tune.py / temporal-conv kernel measurements).
+This kernel expresses the 3x3 conv the way the temporal-conv kernel
+expresses (3,1,1): flatten rows, then every tap is ONE [k·W, C] @ [C, bn]
+dot over a shifted window of the zero-padded block:
+
+    y[h, w] += x[h+dy-1, w+dx-1] @ W[dy, dx]
+    flat:  y_flat[r·W+w] += xflat[(r+dy)·W + (w+dx-1)] @ W[dy, dx]
+
+- the h halo (1 row each side) comes from an overlap-materialized view
+  [B, H/k, k+2, W, C] built with XLA slices (+2/k read amplification),
+- the w edge wrap (w+dx-1 crossing row boundaries) is handled by masked
+  input variants: dx=0 taps read a copy with w==W-1 elements zeroed,
+  dx=2 taps one with w==0 zeroed — built once per block in VMEM,
+- fp32 accumulation, fused bias.
+
+Not yet dispatched from the model: wire-in follows an in-model profile
+(scripts/tests/conv3x3_tune.py has the chain bench; XLA fuses GN stats
+into its own convs for free, so the win must beat that too).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _kernel(x_ref, w_ref, b_ref, o_ref, *, k_rows, width):
+    c = x_ref.shape[-1]
+    bn = o_ref.shape[-1]
+    kw = k_rows * width
+    xf = x_ref[0, 0].reshape((k_rows + 2) * width, c)
+    zero = jnp.zeros((1, c), xf.dtype)
+    xp = jnp.concatenate([zero, xf, zero], axis=0)  # flat pad 1 elem/side
+
+    # w-position of each padded row: (i - 1) mod width (pads are zero anyway)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (xp.shape[0], 1), 0) - 1
+    wpos = jax.lax.rem(idx, width)
+    xm_l = xp * (wpos != width - 1).astype(xp.dtype)  # for dx=0 taps
+    xm_r = xp * (wpos != 0).astype(xp.dtype)          # for dx=2 taps
+    variants = (xm_l, xp, xm_r)
+
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            start = dy * width + dx
+            y = jax.lax.dot_general(
+                variants[dx][start:start + kw],
+                w_ref[dy, dx],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = y if acc is None else acc + y
+    acc = acc + b_ref[0].astype(jnp.float32)[None]
+    o_ref[0] = acc.astype(o_ref.dtype).reshape(k_rows, width, bn)
+
+
+def _pick(dim: int, cap: int, step: int) -> int:
+    cap = min(cap, dim)
+    for b in range(cap - cap % step, 0, -step):
+        if dim % b == 0:
+            return b
+    return max(step, cap - cap % step)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def conv3x3_same(
+    x: jax.Array,       # [B, H, W, Cin]
+    w: jax.Array,       # [3, 3, Cin, Cout]
+    bias: jax.Array,    # [Cout]
+    interpret: bool = False,
+) -> jax.Array:
+    b, h, width, cin = x.shape
+    cout = w.shape[-1]
+    bn = _pick(cout, 640, 128) if cout >= 128 else cout
+
+    itemsize = x.dtype.itemsize
+    w_bytes = 2 * 9 * cin * bn * itemsize
+
+    def bytes_at(k):
+        inb = 2 * (k + 2) * width * cin * itemsize          # io double-buf
+        varb = 3 * ((k + 2) * width + 2) * cin * itemsize   # masked variants
+        accb = k * width * bn * 4
+        outb = 2 * k * width * bn * itemsize
+        return inb + varb + accb + outb + w_bytes
+
+    cap = 1
+    while cap < h and bytes_at(cap + 1) <= _VMEM_BUDGET:
+        cap += 1
+    k_rows = _pick(h, cap, 1)
+
+    # overlap-materialized h-halo view [B, H/k, k+2, W, C]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    nb = h // k_rows
+    x_ov = jnp.stack(
+        [xp[:, i * k_rows:i * k_rows + k_rows + 2] for i in range(nb)], axis=1
+    )
+
+    grid = (b, nb, pl.cdiv(cout, bn))
+    out = pl.pallas_call(
+        functools.partial(_kernel, k_rows=k_rows, width=width),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, k_rows + 2, width, cin),
+                         lambda bb, hb, ni: (bb, hb, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, cin, bn), lambda bb, hb, ni: (0, 0, 0, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda bb, hb, ni: (0, ni),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, k_rows, width, bn), lambda bb, hb, ni: (bb, hb, 0, ni),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, width, cout), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(x_ov, w, bias.reshape(1, cout))
+    return out
+
+
+def conv3x3_reference(x, w, bias):
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ) + bias
+
+
+def use_pallas_conv3x3(h: int, w: int, cin: int, cout: int,
+                       force: Optional[bool] = None) -> bool:
+    if force is not None:
+        return bool(force)
+    return False  # not wired until the in-model profile proves a win

@@ -1,0 +1,87 @@
+"""Pallas matmul(+bias) for projection sites XLA lowers badly.
+
+The attention out-projections ([B·L, H·D] @ [H·D, C] + bias, then residual
+add / AlphaBlender mix) land in XLA:TPU's batch-in-sublanes conv emitter at
+~21 TF/s once the elementwise epilogues fuse in — 30 ms of the swan UNet
+step across the 10 spatial + 10 temporal sites (fusion_attr:
+%broadcast_add_fusion / %add_multiply_fusion). A plain Pallas dot with fp32
+accumulation runs the same shapes at ~150 TF/s (ops/temporal_conv.py
+measures the identical [*, 320/640] dot family); the residual/mix adds stay
+in XLA where they are pure-bandwidth fusions.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _kernel(x_ref, w_ref, b_ref, o_ref):
+    acc = jax.lax.dot_general(
+        x_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = (acc + b_ref[0].astype(jnp.float32)[None]).astype(o_ref.dtype)
+
+
+def _pick(dim: int, cap: int, step: int) -> int:
+    cap = min(cap, dim)
+    for b in range(cap - cap % step, 0, -step):
+        if dim % b == 0:
+            return b
+    return max(step, cap - cap % step)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def matmul_bias(
+    x: jax.Array,       # [M, K]
+    w: jax.Array,       # [K, N]
+    bias: jax.Array,    # [N]
+    interpret: bool = False,
+) -> jax.Array:
+    m, k = x.shape
+    _, n = w.shape
+    bn = _pick(n, 640, 128) if n >= 128 else n
+    itemsize = x.dtype.itemsize
+    per_row = 2 * (k + bn) * itemsize + bn * 4
+    w_bytes = 2 * k * bn * itemsize
+    bm = _pick(m, max(8, (_VMEM_BUDGET - w_bytes) // per_row), 8)
+    grid = (pl.cdiv(m, bm), pl.cdiv(n, bn))
+    return pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda mi, ni: (mi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bn), lambda mi, ni: (0, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda mi, ni: (0, ni),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda mi, ni: (mi, ni),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(x, w, bias.reshape(1, n))
+
+
+def use_pallas_matmul(m: int, k: int, n: int,
+                      force: Optional[bool] = None) -> bool:
+    """Dispatcher predicate: big-M projection matmuls on TPU. Small K/N or
+    small M would leave the MXU idle; XLA's emitters are fine there."""
+    if force is not None:
+        return bool(force)
+    return (
+        jax.default_backend() == "tpu"
+        and m >= 4096 and 64 <= k <= 2048 and 64 <= n <= 2048
+    )
