@@ -90,6 +90,90 @@ def test_low_scale_encoder_end_to_end():
     assert enc.decode(z).shape == z.shape
 
 
+_T5_COND_YAML = """
+model:
+  target: sgm.models.diffusion.DiffusionEngine
+  params:
+    scale_factor: 0.18215
+    denoiser_config:
+      target: sgm.modules.diffusionmodules.denoiser.Denoiser
+      params:
+        scaling_config:
+          target: sgm.modules.diffusionmodules.denoiser_scaling.EpsScaling
+    network_config:
+      target: sgm.modules.diffusionmodules.openaimodel.UNetModel
+      params:
+        in_channels: 4
+        out_channels: 4
+        model_channels: 32
+        attention_resolutions: [1]
+        num_res_blocks: 1
+        channel_mult: [1]
+        num_head_channels: 16
+        transformer_depth: 1
+        context_dim: 16
+    first_stage_config:
+      target: sgm.models.autoencoder.AutoencoderKL
+      params:
+        embed_dim: 4
+        ddconfig:
+          double_z: true
+          z_channels: 4
+          in_channels: 3
+          out_ch: 3
+          ch: 16
+          ch_mult: [1]
+          num_res_blocks: 1
+    conditioner_config:
+      target: sgm.modules.GeneralConditioner
+      params:
+        emb_models:
+          - is_trainable: False
+            input_key: txt
+            target: sgm.modules.encoders.modules.{EMB}
+            params: {PARAMS}
+"""
+
+
+def _write_yaml(tmp_path, emb, params):
+    p = tmp_path / "cfg.yaml"
+    p.write_text(
+        _T5_COND_YAML.replace("{EMB}", emb).replace("{PARAMS}", params)
+    )
+    return str(p)
+
+
+def test_build_pipeline_t5_conditioner(tmp_path):
+    from vidseg_diffusion_tpu.engine.build import build_pipeline
+
+    cfg = _write_yaml(
+        tmp_path, "FrozenT5Embedder",
+        "{t5_cfg: {vocab_size: 384, d_model: 16, d_kv: 4, num_heads: 4, "
+        "d_ff: 32, num_layers: 2}}",
+    )
+    pipe = build_pipeline(cfg)
+    assert pipe.conditioner is not None and pipe.conditioner.kind == "t5_text"
+
+    from vidseg_diffusion_tpu.models.t5 import byt5_tokenize
+
+    out = pipe.conditioner({"txt_t5_tokens": byt5_tokenize(["a", "bb"], 9)})
+    assert out["crossattn"].shape == (2, 9, 16)
+    assert np.isfinite(np.asarray(out["crossattn"])).all()
+
+
+def test_build_pipeline_class_conditioner(tmp_path):
+    from vidseg_diffusion_tpu.engine.build import build_pipeline
+
+    cfg = _write_yaml(
+        tmp_path, "ClassEmbedder",
+        "{embed_dim: 16, n_classes: 7, add_sequence_dim: True}",
+    )
+    pipe = build_pipeline(cfg)
+    assert pipe.conditioner is not None and pipe.conditioner.kind == "class"
+    out = pipe.conditioner({"cls": jnp.asarray([0, 6])})
+    assert out["crossattn"].shape == (2, 1, 16)
+
+
 def test_clip_t5_pair_routes_as_tuple():
     from vidseg_diffusion_tpu.models.conditioner import Conditioner, EmbedderSpec
 

@@ -74,6 +74,22 @@ def test_t5_encoder_matches_hf(ff_proj):
     )
 
 
+def test_t5_config_inference_from_state_dict():
+    from vidseg_diffusion_tpu.models.t5 import t5_config_from_state_dict
+
+    _, _, ref, _ = _build_pair("gated-gelu")
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    cfg = t5_config_from_state_dict(sd)
+    assert (cfg.vocab_size, cfg.d_model, cfg.d_kv, cfg.num_heads) == (384, 32, 8, 4)
+    assert (cfg.d_ff, cfg.num_layers) == (64, 3)
+    assert cfg.relative_attention_num_buckets == 8
+    assert cfg.feed_forward_proj == "gated-gelu"
+
+    _, _, ref_relu, _ = _build_pair("relu")
+    sd = {k: v.detach().numpy() for k, v in ref_relu.state_dict().items()}
+    assert t5_config_from_state_dict(sd).feed_forward_proj == "relu"
+
+
 def test_byt5_tokenize_matches_hf_semantics():
     # HF ByT5Tokenizer = utf-8 bytes + 3, eos=1, pad=0
     toks = np.asarray(byt5_tokenize("hi✓", max_length=10))

@@ -372,6 +372,83 @@ def build_pipeline(
 
             conditioner = build_sd_text_conditioner(clip_text_fn)
             clip_apply = clip_text_fn
+        elif "FrozenT5Embedder" in targets or "FrozenByT5Embedder" in targets:
+            from vidseg_diffusion_tpu.models.conditioner import (
+                build_t5_text_conditioner,
+            )
+            from vidseg_diffusion_tpu.models.t5 import (
+                T5Config, T5Encoder, t5_config_from_state_dict, t5_key_fn,
+            )
+
+            tname = ("FrozenT5Embedder" if "FrozenT5Embedder" in targets
+                     else "FrozenByT5Embedder")
+            idx = targets.index(tname)
+            node = emb_models[idx]
+            # reference wraps T5EncoderModel as .transformer (modules.py:255)
+            prefix = f"conditioner.embedders.{idx}.transformer."
+            t5keys = sub_dict(sd, prefix) if sd is not None else {}
+            if t5keys:
+                t5cfg = t5_config_from_state_dict(t5keys, dtype=dtype)
+            else:
+                # architecture comes from the checkpoint normally; allow an
+                # explicit t5_cfg override for synthetic builds
+                t5cfg = T5Config(
+                    dtype=dtype, **((node.get("params") or {}).get("t5_cfg") or {})
+                )
+            t5 = T5Encoder(t5cfg)
+            t5_shapes = _param_shapes(
+                lambda: t5.init(rng, jnp.zeros((1, 77), jnp.int32))
+            )
+            if t5keys:
+                t5_params, _ = convert_state_dict(
+                    t5_shapes, t5keys, t5_key_fn, dtype=dtype
+                )
+            else:
+                t5_params = _synthesize_params(
+                    t5_shapes, jax.random.fold_in(rng, 8), dtype
+                )
+            t5_params = cast(t5_params)
+            _t5_fwd = jax.jit(lambda p, t: t5.apply({"params": p}, t))
+
+            def t5_fn(tokens):
+                return _t5_fwd(t5_params, tokens)
+
+            conditioner = build_t5_text_conditioner(t5_fn)
+            clip_apply = t5_fn
+        elif "ClassEmbedder" in targets:
+            from vidseg_diffusion_tpu.models.aux_encoders import ClassEmbedder
+            from vidseg_diffusion_tpu.models.conditioner import (
+                build_class_conditioner,
+            )
+
+            node = emb_models[targets.index("ClassEmbedder")]
+            p = node.get("params") or {}
+            ce = ClassEmbedder(
+                embed_dim=p["embed_dim"],
+                n_classes=p.get("n_classes", 1000),
+                add_sequence_dim=p.get("add_sequence_dim", False),
+            )
+            ce_shapes = _param_shapes(
+                lambda: ce.init(rng, jnp.zeros((1,), jnp.int32))
+            )
+            idx = targets.index("ClassEmbedder")
+            ekey = f"conditioner.embedders.{idx}.embedding.weight"
+            if sd is not None and ekey in sd:
+                ce_params, _ = convert_state_dict(
+                    ce_shapes, {ekey: sd[ekey]}, lambda path: ekey, dtype=dtype
+                )
+            else:
+                ce_params = _synthesize_params(
+                    ce_shapes, jax.random.fold_in(rng, 9), dtype
+                )
+            ce_params = cast(ce_params)
+            _ce_fwd = jax.jit(lambda p, c: ce.apply({"params": p}, c))
+
+            def class_fn(labels):
+                return _ce_fwd(ce_params, labels)
+
+            conditioner = build_class_conditioner(class_fn)
+            clip_apply = class_fn
 
     return Pipeline(
         spec=spec,

@@ -144,6 +144,30 @@ def build_sd_text_conditioner(
     )
 
 
+def build_t5_text_conditioner(
+    t5_fn: Callable[[jnp.ndarray], jnp.ndarray],
+) -> Conditioner:
+    """T5/ByT5 text conditioner (FrozenT5Embedder / FrozenByT5Embedder,
+    modules.py:249-328): pre-tokenized ids → last hidden state
+    [b, 77, d_model] routed to crossattn."""
+    return Conditioner(
+        embedders=(EmbedderSpec("txt_t5_tokens", t5_fn, name="t5_text"),),
+        kind="t5_text",
+    )
+
+
+def build_class_conditioner(
+    class_fn: Callable[[jnp.ndarray], jnp.ndarray],
+) -> Conditioner:
+    """Class-label conditioner (ClassEmbedder, modules.py:215-234):
+    integer labels → embedding (vector or crossattn depending on
+    add_sequence_dim, routed by rank like everything else)."""
+    return Conditioner(
+        embedders=(EmbedderSpec("cls", class_fn, name="class_emb"),),
+        kind="class",
+    )
+
+
 def build_sdxl_refiner_conditioner(
     clip_g_fn: Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]],
     size_outdim: int = 256,

@@ -187,6 +187,42 @@ def t5_key_fn(path: Tuple[str, ...]) -> str:
     raise KeyError(f"unmapped T5 path {path}")
 
 
+def t5_config_from_state_dict(sd, dtype=jnp.float32) -> "T5Config":
+    """Infer a T5Config from an HF ``T5EncoderModel`` state dict — the
+    reference YAMLs carry only the HF version string (modules.py:252-255),
+    so the architecture must come from the checkpoint itself.
+    ``max_distance`` is not recoverable from shapes; every released
+    t5/byt5 checkpoint uses 128."""
+    import numpy as np
+
+    vocab, d_model = np.asarray(sd["shared.weight"]).shape
+    n_layers = 1 + max(
+        int(m.group(1))
+        for k in sd
+        if (m := re.match(r"encoder\.block\.(\d+)\.", k))
+    )
+    inner = np.asarray(sd["encoder.block.0.layer.0.SelfAttention.q.weight"]).shape[0]
+    num_buckets, num_heads = np.asarray(
+        sd["encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"]
+    ).shape
+    gated = "encoder.block.0.layer.1.DenseReluDense.wi_0.weight" in sd
+    ff_key = "wi_0" if gated else "wi"
+    d_ff = np.asarray(
+        sd[f"encoder.block.0.layer.1.DenseReluDense.{ff_key}.weight"]
+    ).shape[0]
+    return T5Config(
+        vocab_size=vocab,
+        d_model=d_model,
+        d_kv=inner // num_heads,
+        num_heads=num_heads,
+        d_ff=d_ff,
+        num_layers=n_layers,
+        relative_attention_num_buckets=num_buckets,
+        feed_forward_proj="gated-gelu" if gated else "relu",
+        dtype=dtype,
+    )
+
+
 def byt5_tokenize(
     texts, max_length: int = 77, pad_id: int = 0, eos_id: int = 1
 ) -> jax.Array:
