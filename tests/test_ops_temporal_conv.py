@@ -19,12 +19,16 @@ from vidseg_diffusion_tpu.ops.temporal_conv import (
 @pytest.mark.parametrize(
     "b,t,m,cin,cout,kt",
     [
-        (2, 14, 5824, 320, 320, 3),   # swan time_stack level 0 (cropped tail)
-        (2, 14, 1456, 640, 640, 3),   # level 1
+        # full swan-scale shapes exercise the VMEM row-block split; interpret
+        # mode makes them ~2 min each → slow mark (small shapes cover the
+        # same code paths in the default run)
+        pytest.param(2, 14, 5824, 320, 320, 3, marks=pytest.mark.slow),
+        pytest.param(2, 14, 1456, 640, 640, 3, marks=pytest.mark.slow),
         (1, 1, 128, 128, 128, 3),     # decoding_t=1 degenerate temporal conv
         (2, 2, 48, 64, 128, 3),       # T < kt edge coverage
         (1, 5, 40, 64, 64, 5),        # wider kt
         (1, 25, 16, 64, 64, 3),       # full 25-frame denoise window
+        (1, 4, 736, 320, 320, 3),     # multi-row-block shape, small enough for default
     ],
 )
 def test_kernel_matches_reference(b, t, m, cin, cout, kt):

@@ -132,6 +132,38 @@ class UNetConfig:
         return input_blocks, middle, output_blocks
 
 
+class SpatialConv3x3(nn.Module):
+    """3x3 SAME conv with a Pallas-kernel dispatch hook.
+
+    Param tree matches nn.Conv ({kernel [3,3,cin,cout], bias}) so checkpoint
+    conversion is unchanged. Routes to ops/conv3x3.conv3x3_same (9 shifted
+    MXU dots) when the dispatcher enables it for the shape; otherwise the
+    stock XLA NHWC lowering — identical numerics either way (interp-parity
+    tested)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    kernel_init: Any = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from vidseg_diffusion_tpu.ops.conv3x3 import (
+            conv3x3_same, use_pallas_conv3x3,
+        )
+
+        cin = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init, (3, 3, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        x = x.astype(self.dtype)
+        k = kernel.astype(self.dtype)
+        b = bias.astype(self.dtype)
+        if use_pallas_conv3x3(x.shape[1], x.shape[2], cin, self.features):
+            return conv3x3_same(x, k, b)
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ) + b
+
+
 class ResBlock(nn.Module):
     """GroupNorm→SiLU→conv ×2 with timestep-embedding add and skip
     (openaimodel.py:220-370). NHWC."""
@@ -153,14 +185,14 @@ class ResBlock(nn.Module):
         elif self.down:
             h = nn.avg_pool(h, (2, 2), (2, 2))
             x = nn.avg_pool(x, (2, 2), (2, 2))
-        h = nn.Conv(c_out, (3, 3), dtype=self.dtype, name="in_conv")(h)
+        h = SpatialConv3x3(c_out, dtype=self.dtype, name="in_conv")(h)
 
         e = nn.Dense(c_out, dtype=self.dtype, name="emb_proj")(nn.silu(emb))
         h = h + e[:, None, None, :]
 
         h = nn.silu(GroupNorm32(name="out_norm")(h))
-        h = nn.Conv(
-            c_out, (3, 3), dtype=self.dtype, name="out_conv",
+        h = SpatialConv3x3(
+            c_out, dtype=self.dtype, name="out_conv",
             kernel_init=nn.initializers.zeros,
         )(h)
 

@@ -140,6 +140,14 @@ def conv3x3_reference(x, w, bias):
 
 def use_pallas_conv3x3(h: int, w: int, cin: int, cout: int,
                        force: Optional[bool] = None) -> bool:
+    """Off by default until the in-model profile proves a win over XLA's
+    NHWC emitter (which gets GN-stats fusion for free). The env knob lets
+    the tune session A/B in-model without code edits (trace-time only)."""
     if force is not None:
         return bool(force)
-    return False  # not wired until the in-model profile proves a win
+    import os
+
+    env = os.environ.get("VIDSEG_PALLAS_CONV3X3")
+    if env is not None:
+        return env == "1" and jax.default_backend() == "tpu"
+    return False

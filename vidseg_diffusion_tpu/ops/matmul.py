@@ -78,9 +78,14 @@ def matmul_bias(
 def use_pallas_matmul(m: int, k: int, n: int,
                       force: Optional[bool] = None) -> bool:
     """Dispatcher predicate: big-M projection matmuls on TPU. Small K/N or
-    small M would leave the MXU idle; XLA's emitters are fine there."""
+    small M would leave the MXU idle; XLA's emitters are fine there.
+    VIDSEG_PALLAS_MATMUL=0 is the trace-time kill switch for A/B runs."""
     if force is not None:
         return bool(force)
+    import os
+
+    if os.environ.get("VIDSEG_PALLAS_MATMUL") == "0":
+        return False
     return (
         jax.default_backend() == "tpu"
         and m >= 4096 and 64 <= k <= 2048 and 64 <= n <= 2048
