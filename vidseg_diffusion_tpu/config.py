@@ -177,6 +177,7 @@ def build_unet_config(node: Dict[str, Any], dtype=jnp.float32) -> UNetConfig:
         merge_strategy=p.get("merge_strategy", "learned_with_images"),
         merge_factor=p.get("merge_factor", 0.5),
         video_kernel_size=tuple(p.get("video_kernel_size", (3, 1, 1))),
+        remat=bool(p.get("use_checkpoint", False)),
         dtype=dtype,
     )
 

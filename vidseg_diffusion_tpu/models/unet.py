@@ -84,6 +84,12 @@ class UNetConfig:
     merge_factor: float = 0.5
     video_kernel_size: Tuple[int, ...] = (3, 1, 1)
     dtype: jnp.dtype = jnp.float32
+    # per-block jax.checkpoint (reference use_checkpoint, openaimodel.py:231
+    # via util.checkpoint). jax semantics: forward-only jit is unchanged;
+    # only the VJP rematerializes block activations — so honoring the
+    # reference YAMLs' use_checkpoint: True costs inference nothing and
+    # gives training the same memory/flops trade.
+    remat: bool = False
 
     @property
     def num_blocks(self) -> int:
@@ -439,24 +445,34 @@ class UNetModel(nn.Module):
             le = nn.Dense(cfg.model_channels * 4, dtype=dt, name="label_emb_2")(nn.silu(le))
             emb = emb + le
 
+        # per-block rematerialization (static_argnums count self as 0; the
+        # static slots are the num_video_frames / timesteps ints)
+        if cfg.remat:
+            _Res = nn.remat(ResBlock)
+            _VRes = nn.remat(VideoResBlock, static_argnums=(3,))
+            _ST = nn.remat(SpatialTransformer)
+            _SVT = nn.remat(SpatialVideoTransformer, static_argnums=(3,))
+        else:
+            _Res, _VRes = ResBlock, VideoResBlock
+            _ST, _SVT = SpatialTransformer, SpatialVideoTransformer
+
         def res_block(idx_name, spec, h):
             if cfg.video:
-                return VideoResBlock(
+                return _VRes(
                     out_channels=spec["ch"],
                     merge_strategy=cfg.merge_strategy,
                     merge_factor=cfg.merge_factor,
                     video_kernel_size=cfg.video_kernel_size,
                     dtype=dt,
                     name=idx_name,
-                )(h, emb, num_video_frames=num_video_frames,
-                  image_only_indicator=image_only_indicator)
-            return ResBlock(out_channels=spec["ch"], dtype=dt, name=idx_name)(h, emb)
+                )(h, emb, num_video_frames, image_only_indicator)
+            return _Res(out_channels=spec["ch"], dtype=dt, name=idx_name)(h, emb)
 
         def attn_block(idx_name, spec, h, mod, inj, sow=True):
             heads = spec["ch"] // cfg.num_head_channels
             depth = cfg.depth_for_level(spec.get("level", 0))
             if cfg.video:
-                return SpatialVideoTransformer(
+                return _SVT(
                     heads=heads,
                     dim_head=cfg.num_head_channels,
                     depth=depth,
@@ -465,10 +481,8 @@ class UNetModel(nn.Module):
                     dtype=dt,
                     sow_qk=sow,
                     name=idx_name,
-                )(h, context=context, timesteps=num_video_frames,
-                  image_only_indicator=image_only_indicator,
-                  modulation=mod, injection=inj)
-            return SpatialTransformer(
+                )(h, context, num_video_frames, image_only_indicator, mod, inj)
+            return _ST(
                 heads=heads,
                 dim_head=cfg.num_head_channels,
                 depth=depth,
@@ -476,9 +490,9 @@ class UNetModel(nn.Module):
                 sow_qk=sow,
                 name=idx_name,
             )(
-                h, context=context,
-                modulation=mod.spatial if mod is not None else None,
-                injection=inj.spatial if inj is not None else None,
+                h, context,
+                mod.spatial if mod is not None else None,
+                inj.spatial if inj is not None else None,
             )
 
         hooks = hooks if hooks is not None else UNetHooks()
