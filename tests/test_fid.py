@@ -1,0 +1,70 @@
+"""FID math vs the scipy oracle (the exact formula pytorch_fid's
+calculate_frechet_distance implements with scipy.linalg.sqrtm)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+scipy = pytest.importorskip("scipy")
+from scipy import linalg  # noqa: E402
+
+from vidseg_diffusion_tpu.eval.fid import (  # noqa: E402
+    feature_stats,
+    fid_from_features,
+    frechet_distance,
+    matrix_sqrt_psd,
+)
+
+
+def _oracle(mu1, sigma1, mu2, sigma2):
+    # pytorch_fid fid_score.calculate_frechet_distance, verbatim math
+    diff = mu1 - mu2
+    covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2) - 2 * np.trace(
+        covmean
+    )
+
+
+def _rand_stats(rs, d, n):
+    f = rs.rand(n, d).astype(np.float64) * 2 - 1
+    mu = f.mean(axis=0)
+    sigma = np.cov(f, rowvar=False)
+    return f, mu, sigma
+
+
+def test_matrix_sqrt_psd():
+    rs = np.random.RandomState(0)
+    a = rs.rand(6, 6)
+    psd = a @ a.T
+    r = np.asarray(matrix_sqrt_psd(jnp.asarray(psd)))
+    np.testing.assert_allclose(r @ r, psd, atol=1e-4)
+
+
+def test_frechet_distance_matches_scipy():
+    rs = np.random.RandomState(1)
+    _, mu1, s1 = _rand_stats(rs, 8, 200)
+    _, mu2, s2 = _rand_stats(rs, 8, 300)
+    want = _oracle(mu1, s1, mu2, s2)
+    got = float(frechet_distance(
+        jnp.asarray(mu1), jnp.asarray(s1), jnp.asarray(mu2), jnp.asarray(s2)
+    ))
+    assert got == pytest.approx(want, rel=2e-3, abs=1e-3)
+
+
+def test_fid_from_features_and_identity():
+    rs = np.random.RandomState(2)
+    f1, mu1, s1 = _rand_stats(rs, 5, 400)
+    f2, mu2, s2 = _rand_stats(rs, 5, 500)
+    # stats match np.cov conventions (ddof=1)
+    gmu, gs = feature_stats(jnp.asarray(f1))
+    np.testing.assert_allclose(np.asarray(gmu), mu1, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gs), s1, atol=1e-4)
+
+    want = _oracle(mu1, s1, mu2, s2)
+    got = float(fid_from_features(jnp.asarray(f1), jnp.asarray(f2)))
+    assert got == pytest.approx(want, rel=2e-3, abs=1e-3)
+
+    same = float(fid_from_features(jnp.asarray(f1), jnp.asarray(f1)))
+    assert same == pytest.approx(0.0, abs=1e-3)
