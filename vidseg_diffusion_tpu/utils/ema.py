@@ -46,7 +46,7 @@ def lambda_warmup_cosine(
     lr_start: float,
     max_decay_steps: int,
 ):
-    """LambdaWarmUpCosineScheduler semantics (lr_scheduler.py)."""
+    """LambdaWarmUpCosineScheduler semantics (lr_scheduler.py:4-48)."""
 
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
@@ -58,3 +58,57 @@ def lambda_warmup_cosine(
         return jnp.where(step < warm_up_steps, warm, cos)
 
     return schedule
+
+
+def _multi_cycle(warm_up_steps, f_min, f_max, f_start, cycle_lengths, decay):
+    """Shared machinery of the multi-cycle schedulers
+    (LambdaWarmUpCosineScheduler2 / LambdaLinearScheduler,
+    lr_scheduler.py:51-135): locate the cycle by cumulative length
+    (boundary step n == cum_cycles[i] belongs to cycle i-1 — the
+    reference's `n <= cl`), warm up linearly from f_start to f_max, then
+    decay by `decay(t, f_min, f_max)` over the cycle remainder.
+
+    jnp-traceable (searchsorted + gather) so it jits inside a train step;
+    use with base_lr 1.0 like the reference."""
+    import numpy as np
+
+    wu = jnp.asarray(warm_up_steps, jnp.float32)
+    fmn = jnp.asarray(f_min, jnp.float32)
+    fmx = jnp.asarray(f_max, jnp.float32)
+    fst = jnp.asarray(f_start, jnp.float32)
+    cl = jnp.asarray(cycle_lengths, jnp.float32)
+    cum = jnp.asarray(np.cumsum([0] + list(cycle_lengths)), jnp.float32)
+
+    def schedule(step):
+        n_glob = jnp.asarray(step, jnp.float32)
+        # reference find_in_interval: first i with n <= cum_cycles[i+1]
+        cyc = jnp.clip(
+            jnp.searchsorted(cum[1:], n_glob, side="left"), 0, cl.shape[0] - 1
+        )
+        n = n_glob - cum[cyc]
+        warm = (fmx[cyc] - fst[cyc]) / wu[cyc] * n + fst[cyc]
+        t = jnp.clip((n - wu[cyc]) / (cl[cyc] - wu[cyc]), 0.0, 1.0)
+        dec = decay(t, n, fmn[cyc], fmx[cyc], cl[cyc])
+        return jnp.where(n < wu[cyc], warm, dec)
+
+    return schedule
+
+
+def lambda_warmup_cosine2(warm_up_steps, f_min, f_max, f_start, cycle_lengths):
+    """LambdaWarmUpCosineScheduler2 (lr_scheduler.py:51-111): per-cycle
+    linear warmup then half-cosine f_max→f_min."""
+    return _multi_cycle(
+        warm_up_steps, f_min, f_max, f_start, cycle_lengths,
+        lambda t, n, mn, mx, length: mn + 0.5 * (mx - mn) * (1 + jnp.cos(t * jnp.pi)),
+    )
+
+
+def lambda_linear(warm_up_steps, f_min, f_max, f_start, cycle_lengths):
+    """LambdaLinearScheduler (lr_scheduler.py:113-135): linear decay
+    f ∝ (cycle_length - n) / cycle_length — note the reference divides by
+    the FULL cycle length (not minus warmup) and does not clamp, quirks
+    preserved."""
+    return _multi_cycle(
+        warm_up_steps, f_min, f_max, f_start, cycle_lengths,
+        lambda t, n, mn, mx, length: mn + (mx - mn) * (length - n) / length,
+    )
