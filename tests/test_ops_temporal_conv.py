@@ -126,3 +126,14 @@ def test_kernels_under_vmap():
     got = jax.vmap(lambda xi: matmul_bias(xi, wm, bm, interpret=True))(xm)
     ref = xm @ wm + bm
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+    # 3x3 conv under vmap
+    from vidseg_diffusion_tpu.ops.conv3x3 import (
+        conv3x3_reference, conv3x3_same)
+
+    xc = jax.random.normal(k, (3, 2, 6, 10, 16), jnp.float32)  # [R, B, H, W, C]
+    wc = jax.random.normal(jax.random.fold_in(k, 4), (3, 3, 16, 16)) * 0.1
+    bc = jax.random.normal(jax.random.fold_in(k, 5), (16,))
+    got = jax.vmap(lambda xi: conv3x3_same(xi, wc, bc, interpret=True))(xc)
+    ref = jax.vmap(lambda xi: conv3x3_reference(xi, wc, bc))(xc)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
