@@ -82,20 +82,29 @@ def conv3x3_same(
 ) -> jax.Array:
     b, h, width, cin = x.shape
     cout = w.shape[-1]
-    bn = _pick(cout, 640, 128) if cout >= 128 else cout
-
     itemsize = x.dtype.itemsize
-    w_bytes = 2 * 9 * cin * bn * itemsize
 
-    def bytes_at(k):
+    def bytes_at(k, bn):
         inb = 2 * (k + 2) * width * cin * itemsize          # io double-buf
         varb = 3 * ((k + 2) * width + 2) * cin * itemsize   # masked variants
         accb = k * width * bn * 4
         outb = 2 * k * width * bn * itemsize
+        w_bytes = 2 * 9 * cin * bn * itemsize
         return inb + varb + accb + outb + w_bytes
 
+    # joint (bn, k_rows) fit: wide-C blocks (e.g. 1280→1280, 9·C·bn weights
+    # alone = 14.7 MB at bn=640) must shrink the n block before growing rows
+    if cout >= 128:
+        bn_cap = 640
+        bn = _pick(cout, bn_cap, 128)
+        while bn > 128 and bytes_at(1, bn) > _VMEM_BUDGET:
+            bn_cap = bn - 128
+            bn = _pick(cout, bn_cap, 128)
+    else:
+        bn = cout
+
     cap = 1
-    while cap < h and bytes_at(cap + 1) <= _VMEM_BUDGET:
+    while cap < h and bytes_at(cap + 1, bn) <= _VMEM_BUDGET:
         cap += 1
     k_rows = _pick(h, cap, 1)
 
