@@ -93,13 +93,13 @@ def conv3x3_same(
         return inb + varb + accb + outb + w_bytes
 
     # joint (bn, k_rows) fit: wide-C blocks (e.g. 1280→1280, 9·C·bn weights
-    # alone = 14.7 MB at bn=640) must shrink the n block before growing rows
+    # alone = 14.7 MB at bn=640) must shrink the n block before growing
+    # rows; prefer exact lane-multiple divisors, then whole-cout (320 has
+    # no 128-multiple divisor; padded 2×256 would compute 1.6× the FLOPs)
+    from vidseg_diffusion_tpu.ops.matmul import pick_block_n
+
     if cout >= 128:
-        bn_cap = 640
-        bn = _pick(cout, bn_cap, 128)
-        while bn > 128 and bytes_at(1, bn) > _VMEM_BUDGET:
-            bn_cap = bn - 128
-            bn = _pick(cout, bn_cap, 128)
+        bn = pick_block_n(cout, lambda bn_: bytes_at(1, bn_) <= _VMEM_BUDGET)
     else:
         bn = cout
 

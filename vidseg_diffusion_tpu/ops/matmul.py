@@ -39,6 +39,24 @@ def _pick(dim: int, cap: int, step: int) -> int:
     return max(step, cap - cap % step)
 
 
+def pick_block_n(n: int, fits, lane: int = 128, cap: int = 640) -> int:
+    """N-block choice for matmul-family kernels: exact 128-lane-multiple
+    divisors first (every lane pass full AND no cdiv padding), then the
+    whole axis (n=320 has no lane-multiple divisor; a padded 2×256 grid
+    would compute 1.6× the FLOPs — whole-320 wastes only the last
+    64-lane tail), then padded cdiv blocks as the last resort.
+    `fits(bn)` is the caller's VMEM predicate."""
+    for bn in range(min(cap, n) - min(cap, n) % lane, 0, -lane):
+        if n % bn == 0 and fits(bn):
+            return bn
+    if n <= 2 * cap and fits(n):
+        return n
+    bn = _pick(n, cap, lane)
+    while bn > lane and not fits(bn):
+        bn -= lane
+    return bn
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def matmul_bias(
     x: jax.Array,       # [M, K]
@@ -48,8 +66,15 @@ def matmul_bias(
 ) -> jax.Array:
     m, k = x.shape
     _, n = w.shape
-    bn = _pick(n, 640, 128) if n >= 128 else n
     itemsize = x.dtype.itemsize
+
+    def fits(bn_):
+        # one 8-row m block + double-buffered weights must leave room
+        return 2 * k * bn_ * itemsize + 8 * (
+            2 * (k + bn_) * itemsize + bn_ * 4
+        ) <= _VMEM_BUDGET
+
+    bn = pick_block_n(n, fits) if n >= 128 else n
     per_row = 2 * (k + bn) * itemsize + bn * 4
     w_bytes = 2 * k * bn * itemsize
     bm = _pick(m, max(8, (_VMEM_BUDGET - w_bytes) // per_row), 8)
