@@ -110,6 +110,7 @@ class TestRefinerConditioner:
         assert out["crossattn"].shape == (2, 77, W)
         assert out["vector"].shape == (2, W + 2 * 16 + 2 * 16 + 16)
 
+    @pytest.mark.slow  # ~1 min tiny-pipeline compile; routing test above stays default
     def test_build_pipeline_refiner_tiny(self):
         from vidseg_diffusion_tpu.engine.build import build_pipeline
 

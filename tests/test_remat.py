@@ -4,6 +4,8 @@ numerically identical to the non-remat model; only the VJP's memory/flop
 schedule changes."""
 
 import numpy as np
+import pytest
+
 import jax
 import jax.numpy as jnp
 
@@ -82,6 +84,7 @@ def test_remat_grads_match_image_unet():
     )
 
 
+@pytest.mark.slow  # ~2 min of CPU compile; image variant covers the same
 def test_remat_grads_match_video_unet():
     v0, g0 = _params_and_grads(video=True, remat=False)
     v1, g1 = _params_and_grads(video=True, remat=True)
