@@ -1,0 +1,110 @@
+"""FSDP sharded training on the 8-virtual-device mesh: layout choices,
+per-device memory reduction, and exact numerical equality with the
+replicated step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from vidseg_diffusion_tpu.parallel.fsdp import (
+    fsdp_shardings,
+    fsdp_train_step,
+    shard_tree,
+)
+from vidseg_diffusion_tpu.parallel.mesh import make_mesh
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs the 8-device virtual mesh"
+)
+
+
+def _params():
+    k = jax.random.PRNGKey(0)
+    return {
+        "conv": {"kernel": jax.random.normal(k, (3, 3, 16, 32)) * 0.1,
+                 "bias": jnp.zeros((32,))},
+        "dense": {"kernel": jax.random.normal(
+            jax.random.fold_in(k, 1), (32, 24)) * 0.1,
+            "bias": jnp.zeros((24,))},
+        "scalar": jnp.asarray(0.5),
+        "odd": jax.random.normal(jax.random.fold_in(k, 2), (7, 5)),
+    }
+
+
+def test_sharding_choices():
+    mesh = make_mesh(8, axes=("data",), shape=(8,))
+    sh = fsdp_shardings(_params(), mesh)
+    assert sh["conv"]["kernel"].spec == P(None, None, None, "data")
+    assert sh["conv"]["bias"].spec == P("data")  # 32 % 8 == 0
+    assert sh["dense"]["kernel"].spec == P("data", None)  # 32 > 24
+    assert sh["scalar"].spec == P()
+    assert sh["odd"].spec == P()  # nothing divisible by 8
+
+
+def test_sharded_memory_footprint():
+    mesh = make_mesh(8, axes=("data",), shape=(8,))
+    params = _params()
+    sh = fsdp_shardings(params, mesh)
+    sharded = shard_tree(params, sh)
+    k = sharded["conv"]["kernel"]
+    assert k.sharding.spec == P(None, None, None, "data")
+    # each device holds 1/8 of the Cout axis
+    assert k.addressable_shards[0].data.shape == (3, 3, 16, 4)
+
+
+def test_fsdp_step_matches_replicated():
+    mesh = make_mesh(8, axes=("data",), shape=(8,))
+    params = _params()
+    opt = optax.adam(1e-2)
+
+    def loss_fn(p, rng, batch):
+        h = jax.lax.conv_general_dilated(
+            batch, p["conv"]["kernel"], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + p["conv"]["bias"]
+        h = jnp.tanh(h).mean(axis=(1, 2))
+        h = h @ p["dense"]["kernel"] + p["dense"]["bias"]
+        return jnp.mean((h * p["scalar"]) ** 2) + jnp.sum(p["odd"] ** 2) * 0.0
+
+    batch = jax.random.normal(jax.random.PRNGKey(3), (16, 8, 8, 16))
+
+    # replicated oracle
+    def plain_step(p, o, rng, b):
+        loss, g = jax.value_and_grad(loss_fn)(p, rng, b)
+        up, o = opt.update(g, o, p)
+        return optax.apply_updates(p, up), o, loss
+
+    p_ref, o_ref = params, opt.init(params)
+    for i in range(3):
+        p_ref, o_ref, l_ref = jax.jit(plain_step)(
+            p_ref, o_ref, jax.random.PRNGKey(i), batch
+        )
+
+    # FSDP
+    psh = fsdp_shardings(params, mesh)
+    p_s = shard_tree(params, psh)
+    o_s = jax.jit(
+        opt.init, out_shardings=fsdp_shardings(opt.init(params), mesh)
+    )(p_s)
+    dsh = NamedSharding(mesh, P("data"))
+    batch_s = jax.device_put(batch, dsh)
+    step = jax.jit(fsdp_train_step(loss_fn, opt, psh))
+    for i in range(3):
+        p_s, o_s, l_s = step(p_s, o_s, jax.random.PRNGKey(i), batch_s)
+
+    assert float(l_s) == pytest.approx(float(l_ref), rel=1e-6)
+    # sharded reduce-scatter sums in a different order than the replicated
+    # all-reduce; Adam's rsqrt amplifies the ~1e-7 drift to a few 1e-6 over
+    # 3 steps (measured 3.9e-6 max) — numerical equivalence, not bit equality
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5
+        ),
+        p_s, p_ref,
+    )
+    # state stayed sharded through the step
+    assert p_s["conv"]["kernel"].sharding.spec == P(None, None, None, "data")

@@ -1,0 +1,103 @@
+"""FSDP-style parameter/optimizer-state sharding for training.
+
+The reference trains through Lightning DDP (full replicas per GPU). On TPU
+the idiomatic scale-up beyond pure DP is fully-sharded data parallel:
+every parameter and its optimizer state live sharded over the 'data' mesh
+axis; XLA's SPMD partitioner inserts the all-gathers before each use and
+reduce-scatters of the gradients automatically once the state carries
+shardings (scaling-book recipe: annotate, don't hand-write collectives).
+
+This module computes the sharding tree: each parameter is sharded along
+its LARGEST axis divisible by the mesh axis size (weights like
+[3, 3, Cin, Cout] shard on Cout; [K, N] matmuls on N; small/indivisible
+leaves stay replicated). Use with jit:
+
+    shardings = fsdp_shardings(params, mesh, axis="data")
+    state = jax.jit(init, out_shardings=state_shardings)(params)
+    step = jax.jit(train_step, in_shardings=..., out_shardings=...,
+                   donate_argnums=(0,))
+
+Validated on the 8-virtual-device CPU mesh (tests/test_fsdp.py): memory
+per device drops to ~1/n_devices of the replicated state, grads/updates
+match the unsharded step exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _leaf_spec(shape, axis_size: int) -> P:
+    """PartitionSpec sharding the largest divisible dim; replicated if none
+    (biases, scalars, tiny embeddings)."""
+    best = None
+    for i, d in enumerate(shape):
+        if d % axis_size == 0 and d >= axis_size:
+            if best is None or d > shape[best]:
+                best = i
+    if best is None:
+        return P()
+    spec = [None] * len(shape)
+    spec[best] = "__AXIS__"
+    return tuple(spec)
+
+
+def fsdp_shardings(
+    tree: Any, mesh: Mesh, axis: str = "data"
+) -> Any:
+    """NamedSharding tree for `tree` (params or a matching opt-state
+    leaf-structure): shard each leaf's largest axis-divisible dim over
+    `axis`."""
+    axis_size = mesh.shape[axis]
+
+    def leaf(x):
+        shape = x.shape if hasattr(x, "shape") else ()
+        spec = _leaf_spec(tuple(shape), axis_size)
+        if spec == P():
+            return NamedSharding(mesh, P())
+        return NamedSharding(
+            mesh, P(*[axis if s == "__AXIS__" else None for s in spec])
+        )
+
+    return jax.tree.map(leaf, tree)
+
+
+def shard_tree(tree: Any, shardings: Any) -> Any:
+    """Device-put a host/replicated tree into its FSDP layout."""
+    return jax.tree.map(jax.device_put, tree, shardings)
+
+
+def constrain(tree: Any, shardings: Any) -> Any:
+    """with_sharding_constraint over a pytree (use inside jit to pin the
+    layout of params/opt-state at the update point, letting XLA place the
+    all-gather/reduce-scatter pair around it)."""
+    return jax.tree.map(
+        lambda x, s: jax.lax.with_sharding_constraint(x, s), tree, shardings
+    )
+
+
+def fsdp_train_step(
+    loss_fn,
+    optimizer,
+    param_shardings,
+    batch_sharding: Optional[NamedSharding] = None,
+):
+    """Wrap a (params, rng, batch) -> scalar loss into an FSDP step:
+    grads are computed under the sharded params (XLA gathers per-use),
+    then the update is constrained back to the sharded layout so the
+    optimizer state never materializes replicated."""
+
+    def step(params, opt_state, rng, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(params, rng, batch)
+        grads = constrain(grads, param_shardings)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = constrain(
+            jax.tree.map(lambda p, u: p + u, params, updates), param_shardings
+        )
+        return params, opt_state, loss
+
+    return step
