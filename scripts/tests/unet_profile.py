@@ -38,28 +38,43 @@ def custom_call_flops(hlo_text: str) -> float:
     total = 0.0
     for m in re.finditer(
         r"%(\w+)[\w.\-]* = .*? custom-call\(.*?"
-        r"operand_layout_constraints=\{([^}]*)\}",
+        # the constraint list nests one brace level per operand layout:
+        # {bf16[a,b]{1,0}, bf16[c,d]{1,0}} — [^}]* would stop at the FIRST
+        # inner '}' and drop every operand but the first
+        r"operand_layout_constraints=\{((?:[^{}]|\{[^{}]*\})*)\}",
         hlo_text,
     ):
-        kind = m.group(1)
+        # custom-call instrs carry the enclosing jitted fn's name; the
+        # custom_vjp refactor renamed those to _<op>_impl — normalize
+        kind = m.group(1).lstrip("_")
+        if kind.endswith("_impl"):
+            kind = kind[: -len("_impl")]
         shapes = [
             [int(d) for d in dims.split(",") if d]
             for dims in re.findall(r"\w+\[([\d,]*)\]", m.group(2))
         ]
-        if kind.startswith("temporal_conv_1x1"):
-            (b, t, mm, cin), (kt, _, cout) = shapes[0], shapes[1]
-            total += 2.0 * kt * b * t * mm * cin * cout
-        elif kind.startswith("flash_attention_packed"):
-            (b, lq, hd), (_, lk, _) = shapes[0], shapes[1]
-            total += 4.0 * b * lq * lk * hd
-        elif kind.startswith("flash_attention"):
-            (bh, lq, d), (_, lk, _) = shapes[0], shapes[1]
-            total += 4.0 * bh * lq * lk * d
-        elif kind.startswith("matmul_bias"):
-            (mm, k), (_, n) = shapes[0], shapes[1]
-            total += 2.0 * mm * k * n
-        elif kind.startswith("group_norm"):
-            pass  # bandwidth-bound; negligible flops
+        try:
+            if kind.startswith("temporal_conv"):
+                (b, t, mm, cin), (kt, _, cout) = shapes[0], shapes[1]
+                total += 2.0 * kt * b * t * mm * cin * cout
+            elif kind.startswith("flash_attention_packed"):
+                (b, lq, hd), (_, lk, _) = shapes[0], shapes[1]
+                total += 4.0 * b * lq * lk * hd
+            elif kind.startswith("flash_attention"):
+                (bh, lq, d), (_, lk, _) = shapes[0], shapes[1]
+                total += 4.0 * bh * lq * lk * d
+            elif kind.startswith("matmul_bias"):
+                (mm, k), (_, n) = shapes[0], shapes[1]
+                total += 2.0 * mm * k * n
+            elif kind.startswith("conv3x3"):
+                (b, hh, ww, cin), (_, _, _, cout) = shapes[0], shapes[1]
+                total += 2.0 * 9 * b * hh * ww * cin * cout
+            # group_norm etc.: bandwidth-bound, negligible flops
+        except (IndexError, ValueError):
+            # unknown operand layout for this call — under-count rather
+            # than crash the profile
+            print(f"custom_call_flops: skipped {kind} {shapes}",
+                  file=sys.stderr)
     return total
 
 

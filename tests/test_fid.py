@@ -53,6 +53,26 @@ def test_frechet_distance_matches_scipy():
     assert got == pytest.approx(want, rel=2e-3, abs=1e-3)
 
 
+def test_fid_f64_path_tight():
+    """Under x64 the implementation must track the scipy f64 oracle to
+    near machine precision at a wider feature dim."""
+    rs = np.random.RandomState(3)
+    _, mu1, s1 = _rand_stats(rs, 64, 500)
+    _, mu2, s2 = _rand_stats(rs, 64, 400)
+    want = _oracle(mu1, s1, mu2, s2)
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        got = float(frechet_distance(
+            jnp.asarray(mu1), jnp.asarray(s1),
+            jnp.asarray(mu2), jnp.asarray(s2),
+        ))
+    finally:
+        jax.config.update("jax_enable_x64", False)
+    assert got == pytest.approx(want, rel=1e-8, abs=1e-8)
+
+
 def test_fid_from_features_and_identity():
     rs = np.random.RandomState(2)
     f1, mu1, s1 = _rand_stats(rs, 5, 400)

@@ -1,0 +1,139 @@
+"""Reverse-mode AD through every Pallas kernel (custom_vjp wrappers):
+pallas_call alone rejects reverse-mode, and all five kernels sit on the
+TPU training path (CrossAttention projections, video ResBlocks, SDPA).
+Grads must match the jnp reference's grads exactly (the backward IS the
+reference VJP; this guards wiring, shapes, and dtype routing)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vidseg_diffusion_tpu.ops.attention import (
+    flash_attention,
+    flash_attention_packed,
+    mha_reference,
+    small_batched_attention,
+)
+from vidseg_diffusion_tpu.ops.conv3x3 import conv3x3_reference, conv3x3_same
+from vidseg_diffusion_tpu.ops.matmul import matmul_bias
+from vidseg_diffusion_tpu.ops.temporal_conv import (
+    temporal_conv_1x1,
+    temporal_conv_1x1_reference,
+)
+
+
+def _grads(fn, *args):
+    return jax.grad(lambda *a: jnp.sum(fn(*a) ** 2), argnums=tuple(range(len(args))))(*args)
+
+
+def _check(got, want, atol=2e-4):
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=atol
+        ),
+        got, want,
+    )
+
+
+def test_matmul_bias_grads():
+    k = jax.random.PRNGKey(0)
+    x = jax.random.normal(k, (100, 64))
+    w = jax.random.normal(jax.random.fold_in(k, 1), (64, 128)) * 0.1
+    b = jax.random.normal(jax.random.fold_in(k, 2), (128,))
+    got = _grads(lambda x_, w_, b_: matmul_bias(x_, w_, b_, interpret=True), x, w, b)
+    want = _grads(lambda x_, w_, b_: x_ @ w_ + b_, x, w, b)
+    _check(got, want)
+
+
+def test_conv3x3_grads():
+    k = jax.random.PRNGKey(1)
+    x = jax.random.normal(k, (2, 6, 10, 16)) * 0.3
+    w = jax.random.normal(jax.random.fold_in(k, 1), (3, 3, 16, 16)) * 0.1
+    b = jax.random.normal(jax.random.fold_in(k, 2), (16,))
+    got = _grads(lambda *a: conv3x3_same(*a, interpret=True), x, w, b)
+    want = _grads(conv3x3_reference, x, w, b)
+    _check(got, want)
+
+
+def test_temporal_conv_grads():
+    k = jax.random.PRNGKey(2)
+    x = jax.random.normal(k, (2, 5, 24, 32)) * 0.3
+    w = jax.random.normal(jax.random.fold_in(k, 1), (3, 32, 32)) * 0.1
+    b = jax.random.normal(jax.random.fold_in(k, 2), (32,))
+    got = _grads(lambda *a: temporal_conv_1x1(*a, interpret=True), x, w, b)
+    want = _grads(temporal_conv_1x1_reference, x, w, b)
+    _check(got, want)
+
+
+def test_flash_attention_grads():
+    k = jax.random.PRNGKey(3)
+    q = jax.random.normal(k, (2, 2, 128, 32))
+    kk = jax.random.normal(jax.random.fold_in(k, 1), (2, 2, 128, 32))
+    v = jax.random.normal(jax.random.fold_in(k, 2), (2, 2, 128, 32))
+    got = _grads(lambda *a: flash_attention(*a, interpret=True), q, kk, v)
+    want = _grads(mha_reference, q, kk, v)
+    _check(got, want, atol=1e-3)
+
+
+def test_flash_packed_grads():
+    k = jax.random.PRNGKey(4)
+    b, l, h, d = 2, 128, 2, 32
+    q = jax.random.normal(k, (b, l, h * d))
+    kk = jax.random.normal(jax.random.fold_in(k, 1), (b, l, h * d))
+    v = jax.random.normal(jax.random.fold_in(k, 2), (b, l, h * d))
+    got = _grads(
+        lambda *a: flash_attention_packed(*a, heads=h, interpret=True), q, kk, v
+    )
+
+    def ref(q_, k_, v_):
+        out = mha_reference(
+            q_.reshape(b, l, h, d), k_.reshape(b, l, h, d),
+            v_.reshape(b, l, h, d), layout="blhd",
+        )
+        return out.reshape(b, l, h * d)
+
+    want = _grads(ref, q, kk, v)
+    _check(got, want, atol=1e-3)
+
+
+def test_small_batched_grads():
+    k = jax.random.PRNGKey(5)
+    q = jax.random.normal(k, (6, 14, 2, 32))
+    kk = jax.random.normal(jax.random.fold_in(k, 1), (6, 14, 2, 32))
+    v = jax.random.normal(jax.random.fold_in(k, 2), (6, 14, 2, 32))
+    got = _grads(
+        lambda *a: small_batched_attention(*a, fold=2, interpret=True), q, kk, v
+    )
+    want = _grads(
+        lambda q_, k_, v_: mha_reference(q_, k_, v_, layout="blhd"), q, kk, v
+    )
+    _check(got, want, atol=1e-3)
+
+
+def test_grad_through_cross_attention_forced_dispatch():
+    """End-to-end: jax.value_and_grad through a CrossAttention whose
+    projections are forced onto the Pallas matmul (the exact failure mode:
+    swan-scale training on TPU dispatches there)."""
+    from unittest import mock
+
+    from vidseg_diffusion_tpu.models.layers import CrossAttention
+    from vidseg_diffusion_tpu.ops.matmul import matmul_bias as real_mb
+
+    attn = CrossAttention(heads=2, dim_head=16)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 24, 32))
+    params = attn.init(jax.random.PRNGKey(1), x)["params"]
+
+    with mock.patch(
+        "vidseg_diffusion_tpu.ops.matmul.use_pallas_matmul",
+        lambda *a, **k: True,
+    ), mock.patch(
+        "vidseg_diffusion_tpu.ops.matmul.matmul_bias",
+        lambda x_, w_, b_, interpret=False: real_mb(x_, w_, b_, interpret=True),
+    ):
+        def loss(p):
+            return jnp.sum(attn.apply({"params": p}, x) ** 2)
+
+        val, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(val))
+    finite = jax.tree.map(lambda g: bool(np.isfinite(np.asarray(g)).all()), grads)
+    assert all(jax.tree_util.tree_leaves(finite))

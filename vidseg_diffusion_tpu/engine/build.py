@@ -421,7 +421,8 @@ def build_pipeline(
                 build_class_conditioner,
             )
 
-            node = emb_models[targets.index("ClassEmbedder")]
+            idx = targets.index("ClassEmbedder")
+            node = emb_models[idx]
             p = node.get("params") or {}
             ce = ClassEmbedder(
                 embed_dim=p["embed_dim"],
@@ -431,7 +432,6 @@ def build_pipeline(
             ce_shapes = _param_shapes(
                 lambda: ce.init(rng, jnp.zeros((1,), jnp.int32))
             )
-            idx = targets.index("ClassEmbedder")
             ekey = f"conditioner.embedders.{idx}.embedding.weight"
             if sd is not None and ekey in sd:
                 ce_params, _ = convert_state_dict(

@@ -13,7 +13,13 @@ is implemented TPU-native and oracle-tested against the scipy formula
 identity tr·sqrtm(Σ₁Σ₂) = tr·sqrtm(√Σ₁ Σ₂ √Σ₁) so everything runs through
 ``eigh`` (XLA-native, differentiable) instead of a host Schur
 decomposition. Any feature extractor works — CLIP image embeddings
-(models/clip.py) are the natural in-framework choice ("CLIP-FID")."""
+(models/clip.py) are the natural in-framework choice ("CLIP-FID").
+
+Precision: the ``astype(float64)`` casts take effect only when
+``jax.config.jax_enable_x64`` is on; in default f32 mode large
+ill-conditioned covariances (D≈2048) lose a few digits vs the scipy f64
+oracle — enable x64 (or run the stats through NumPy) when comparing
+against reference pytorch_fid numbers at full Inception width."""
 
 from __future__ import annotations
 

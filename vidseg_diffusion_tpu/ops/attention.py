@@ -146,7 +146,7 @@ def _round_up(x: int, m: int) -> int:
 @functools.partial(
     jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret", "layout")
 )
-def flash_attention(
+def _flash_attention_impl(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
@@ -370,7 +370,7 @@ def _flash_kernel_packed(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
 @functools.partial(
     jax.jit, static_argnames=("heads", "scale", "block_q", "block_k", "interpret")
 )
-def flash_attention_packed(
+def _flash_attention_packed_impl(
     q: jax.Array,   # [B, L, H*D]
     k: jax.Array,
     v: jax.Array,
@@ -518,7 +518,7 @@ def _best_fold(b: int, lq: int, lk: int, hd: int, rows_cap: int = 512) -> int:
 @functools.partial(
     jax.jit, static_argnames=("scale", "fold", "interpret")
 )
-def small_batched_attention(
+def _small_batched_attention_impl(
     q: jax.Array,  # [B, Lq, H, D]
     k: jax.Array,  # [B, Lk, H, D]
     v: jax.Array,
@@ -573,6 +573,114 @@ _FLASH_MIN_SEQ = 512
 # Minimum folded tile rows for the small-seq kernel to beat the jnp path
 # (tiny folds leave the MXU idle and the grid overhead dominant).
 _SMALL_MIN_ROWS = 112
+
+
+
+# ---------------------------------------------------------------------------
+# Reverse-mode AD for the Pallas kernels. pallas_call supports only forward
+# evaluation; these custom_vjp wrappers run the kernel forward and fall back
+# to the jnp reference's VJP for the backward pass. NOTE: the attention
+# backward materializes the [Lq, Lk] logits (O(L^2) memory) — fine for the
+# training shapes in-repo; a Pallas flash backward kernel is future work.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _fa(scale, block_q, block_k, interpret, layout, q, k, v):
+    return _flash_attention_impl(
+        q, k, v, scale=scale, block_q=block_q, block_k=block_k,
+        interpret=interpret, layout=layout,
+    )
+
+
+def _fa_fwd(scale, block_q, block_k, interpret, layout, q, k, v):
+    return _fa(scale, block_q, block_k, interpret, layout, q, k, v), (q, k, v)
+
+
+def _fa_bwd(scale, block_q, block_k, interpret, layout, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: mha_reference(q_, k_, v_, scale=scale, layout=layout),
+        q, k, v,
+    )
+    return vjp(g)
+
+
+_fa.defvjp(_fa_fwd, _fa_bwd)
+
+
+def flash_attention(q, k, v, scale=None, block_q=None, block_k=None,
+                    interpret=False, layout="bhld"):
+    """Pallas flash forward; reference-math VJP (see note above)."""
+    return _fa(scale, block_q, block_k, bool(interpret), layout, q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _fap(heads, scale, block_q, block_k, interpret, q, k, v):
+    return _flash_attention_packed_impl(
+        q, k, v, heads, scale=scale, block_q=block_q, block_k=block_k,
+        interpret=interpret,
+    )
+
+
+def _fap_fwd(heads, scale, block_q, block_k, interpret, q, k, v):
+    return _fap(heads, scale, block_q, block_k, interpret, q, k, v), (q, k, v)
+
+
+def _fap_bwd(heads, scale, block_q, block_k, interpret, res, g):
+    q, k, v = res
+    b, lq, hd = q.shape
+    lk = k.shape[1]
+    d = hd // heads
+
+    def ref(q_, k_, v_):
+        out = mha_reference(
+            q_.reshape(b, lq, heads, d),
+            k_.reshape(b, lk, heads, d),
+            v_.reshape(b, lk, heads, d),
+            scale=scale, layout="blhd",
+        )
+        return out.reshape(b, lq, hd)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    return vjp(g.reshape(b, lq, hd))
+
+
+_fap.defvjp(_fap_fwd, _fap_bwd)
+
+
+def flash_attention_packed(q, k, v, heads, scale=None, block_q=None,
+                           block_k=None, interpret=False):
+    """Packed-head Pallas flash forward; reference-math VJP (see note)."""
+    return _fap(heads, scale, block_q, block_k, bool(interpret), q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _sba(scale, fold, interpret, q, k, v):
+    return _small_batched_attention_impl(
+        q, k, v, scale=scale, fold=fold, interpret=interpret
+    )
+
+
+def _sba_fwd(scale, fold, interpret, q, k, v):
+    return _sba(scale, fold, interpret, q, k, v), (q, k, v)
+
+
+def _sba_bwd(scale, fold, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: mha_reference(q_, k_, v_, scale=scale, layout="blhd"),
+        q, k, v,
+    )
+    return vjp(g)
+
+
+_sba.defvjp(_sba_fwd, _sba_bwd)
+
+
+def small_batched_attention(q, k, v, scale=None, fold=None, interpret=False):
+    """Folded tiny-seq Pallas forward; reference-math VJP (see note)."""
+    return _sba(scale, fold, bool(interpret), q, k, v)
 
 
 def dot_product_attention(

@@ -65,16 +65,11 @@ def _kernel(x_ref, w_ref, b_ref, o_ref, *, k_rows, width):
     o_ref[0] = acc.astype(o_ref.dtype).reshape(k_rows, width, bn)
 
 
-def _pick(dim: int, cap: int, step: int) -> int:
-    cap = min(cap, dim)
-    for b in range(cap - cap % step, 0, -step):
-        if dim % b == 0:
-            return b
-    return max(step, cap - cap % step)
+from vidseg_diffusion_tpu.ops.matmul import _pick  # shared block-divisor pick
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def conv3x3_same(
+def _conv3x3_impl(
     x: jax.Array,       # [B, H, W, Cin]
     w: jax.Array,       # [3, 3, Cin, Cout]
     bias: jax.Array,    # [Cout]
@@ -145,6 +140,35 @@ def conv3x3_reference(x, w, bias):
     return jax.lax.conv_general_dilated(
         x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
     ) + bias
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _c3(interpret: bool, x, w, bias):
+    return _conv3x3_impl(x, w, bias, interpret=interpret)
+
+
+def _c3_fwd(interpret, x, w, bias):
+    return _c3(interpret, x, w, bias), (x, w, bias)
+
+
+def _c3_bwd(interpret, res, g):
+    x, w, bias = res
+    _, vjp = jax.vjp(conv3x3_reference, x, w, bias)
+    return vjp(g)
+
+
+_c3.defvjp(_c3_fwd, _c3_bwd)
+
+
+def conv3x3_same(
+    x: jax.Array,       # [B, H, W, Cin]
+    w: jax.Array,       # [3, 3, Cin, Cout]
+    bias: jax.Array,    # [Cout]
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas forward; reverse-mode AD via the XLA reference conv's VJP
+    (pallas_call alone does not support reverse-mode)."""
+    return _c3(bool(interpret), x, w, bias)
 
 
 def use_pallas_conv3x3(h: int, w: int, cin: int, cout: int,

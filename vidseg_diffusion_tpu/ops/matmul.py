@@ -58,7 +58,7 @@ def pick_block_n(n: int, fits, lane: int = 128, cap: int = 640) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def matmul_bias(
+def _matmul_bias_impl(
     x: jax.Array,       # [M, K]
     w: jax.Array,       # [K, N]
     bias: jax.Array,    # [N]
@@ -98,6 +98,40 @@ def matmul_bias(
         ),
         interpret=interpret,
     )(x, w, bias.reshape(1, n))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _mb(interpret: bool, x, w, bias):
+    return _matmul_bias_impl(x, w, bias, interpret=interpret)
+
+
+def _mb_fwd(interpret, x, w, bias):
+    return _mb(interpret, x, w, bias), (x, w, bias)
+
+
+def _mb_bwd(interpret, res, g):
+    # closed-form: y = x @ w + b (fp32 accumulation like the kernel)
+    x, w, bias = res
+    gf = g.astype(jnp.float32)
+    dx = (gf @ w.astype(jnp.float32).T).astype(x.dtype)
+    dw = (x.astype(jnp.float32).T @ gf).astype(w.dtype)
+    db = jnp.sum(gf, axis=0).astype(bias.dtype)
+    return dx, dw, db
+
+
+_mb.defvjp(_mb_fwd, _mb_bwd)
+
+
+def matmul_bias(
+    x: jax.Array,       # [M, K]
+    w: jax.Array,       # [K, N]
+    bias: jax.Array,    # [N]
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas forward + closed-form reverse (pallas_call alone does not
+    support reverse-mode AD, and this op sits on the training path through
+    every CrossAttention projection)."""
+    return _mb(bool(interpret), x, w, bias)
 
 
 def use_pallas_matmul(m: int, k: int, n: int,

@@ -93,7 +93,7 @@ def _plan(t_frames, m, cin, cout, kt, itemsize):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def temporal_conv_1x1(
+def _temporal_conv_impl(
     x: jax.Array,       # [B, T, M, Cin]
     w: jax.Array,       # [kt, Cin, Cout]
     bias: jax.Array,    # [Cout]
@@ -142,6 +142,36 @@ def temporal_conv_1x1_reference(
         y = jnp.einsum("btmc,cd->btmd", xp[:, j:j + t], w[j])
         out = y if out is None else out + y
     return out + bias.astype(out.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _tc(interpret: bool, x, w, bias):
+    return _temporal_conv_impl(x, w, bias, interpret=interpret)
+
+
+def _tc_fwd(interpret, x, w, bias):
+    return _tc(interpret, x, w, bias), (x, w, bias)
+
+
+def _tc_bwd(interpret, res, g):
+    x, w, bias = res
+    _, vjp = jax.vjp(temporal_conv_1x1_reference, x, w, bias)
+    return vjp(g)
+
+
+_tc.defvjp(_tc_fwd, _tc_bwd)
+
+
+def temporal_conv_1x1(
+    x: jax.Array,       # [B, T, M, Cin]
+    w: jax.Array,       # [kt, Cin, Cout]
+    bias: jax.Array,    # [Cout]
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas forward; reverse-mode AD via the shifted-matmul reference's
+    VJP (pallas_call alone does not support reverse-mode — this op is on
+    the training path of every video ResBlock)."""
+    return _tc(bool(interpret), x, w, bias)
 
 
 def use_pallas_temporal_conv(

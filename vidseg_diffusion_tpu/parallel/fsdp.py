@@ -92,6 +92,8 @@ def fsdp_train_step(
     optimizer state never materializes replicated."""
 
     def step(params, opt_state, rng, batch):
+        if batch_sharding is not None:
+            batch = jax.lax.with_sharding_constraint(batch, batch_sharding)
         loss, grads = jax.value_and_grad(loss_fn)(params, rng, batch)
         grads = constrain(grads, param_shardings)
         updates, opt_state = optimizer.update(grads, opt_state, params)
