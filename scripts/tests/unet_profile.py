@@ -67,8 +67,9 @@ def custom_call_flops(hlo_text: str) -> float:
                 (mm, k), (_, n) = shapes[0], shapes[1]
                 total += 2.0 * mm * k * n
             elif kind.startswith("conv3x3"):
-                (b, hh, ww, cin), (_, _, _, cout) = shapes[0], shapes[1]
-                total += 2.0 * 9 * b * hh * ww * cin * cout
+                # first operand is the 5-D halo view [B, H/k, k+2, W, C]
+                (b, nb, kp2, ww, cin), (_, _, _, cout) = shapes[0], shapes[1]
+                total += 2.0 * 9 * b * nb * (kp2 - 2) * ww * cin * cout
             # group_norm etc.: bandwidth-bound, negligible flops
         except (IndexError, ValueError):
             # unknown operand layout for this call — under-count rather

@@ -88,3 +88,22 @@ def test_group_norm_split_matches_reference():
             np.testing.assert_allclose(
                 np.asarray(got), np.asarray(ref), atol=1e-4
             )
+
+
+def test_group_norm_near_constant_no_nan():
+    """E[x^2]-E[x]^2 goes negative from f32 roundoff on near-constant
+    groups (magnitude ~300, std ~1e-3); unclamped rsqrt returned NaN.
+    flax nn.GroupNorm clamps identically — so must every stats path."""
+    import numpy as np
+
+    from vidseg_diffusion_tpu.ops.norm import (
+        group_norm_reference, group_norm_xla,
+    )
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(300.0 + 1e-3 * rs.randn(1, 8, 8, 64), jnp.float32)
+    scale = jnp.ones((64,))
+    bias = jnp.zeros((64,))
+    for fn in (group_norm_xla, group_norm_reference):
+        y = fn(x, scale, bias, groups=32)
+        assert np.isfinite(np.asarray(y)).all(), fn.__name__

@@ -82,3 +82,24 @@ class TestMatchClassification:
         img = (_image(8) / 255.0).astype(np.float32)
         wm = np.asarray(embed_watermark(img[None], strength=1.0))
         assert int(watermark_match_bits(wm[0])) == len(WATERMARK_BITS)
+
+
+def test_range_inference_near_black_and_integer():
+    """Near-black [0,255] frames (max <= 1.5) were misread as unit range
+    and returned ~255x darker; integer dtype now forces byte range and
+    the flag is explicit for ambiguous floats."""
+    import numpy as np
+
+    from vidseg_diffusion_tpu.utils.watermark import embed_watermark_frames
+
+    dark_int = np.ones((300, 300, 3), np.uint8)  # max == 1 in [0,255]
+    out = embed_watermark_frames(dark_int)
+    # perturbation stays ~the embed scale (a few byte counts), NOT the
+    # 255x-rescaled output the old heuristic produced
+    assert out.max() < 20.0
+
+    dark_float = np.ones((300, 300, 3), np.float64)  # ambiguous
+    out_b = embed_watermark_frames(dark_float, unit_range=False)
+    assert out_b.max() < 20.0
+    out_u = embed_watermark_frames(dark_float, unit_range=True)
+    assert out_u.max() <= 1.0 + 1e-9  # unit-range family preserved

@@ -236,13 +236,23 @@ class SamplingPipeline:
     ):
         """Noising strength maps to the skipped step count
         (api.py do_img2img + helpers.py)."""
+        z = self.pipeline.first_stage.encode(jnp.asarray(image))
+        return self._denoise_from_latent(
+            params, z, prompt_tokens, negative_prompt_tokens, rng
+        )
+
+    def _denoise_from_latent(
+        self, params, z, prompt_tokens, negative_prompt_tokens, rng
+    ):
+        """Shared img2img tail: strength→t_start, noise, sample, decode
+        (reference do_img2img; skip_encode callers pass latents directly)."""
         p = self.pipeline
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         sampler = self._make_sampler(params)
         guider = self._guider(params)
-        b = image.shape[0]
-        c, uc = self._make_cond(params, prompt_tokens, negative_prompt_tokens, b)
-        z = p.first_stage.encode(jnp.asarray(image))
+        c, uc = self._make_cond(
+            params, prompt_tokens, negative_prompt_tokens, z.shape[0]
+        )
         t_start = int(params.steps * (1.0 - params.img2img_strength))
         r_noise, r_loop = jax.random.split(rng)
         noised = sampler.add_noise(r_noise, z, noise_level=t_start)
@@ -264,24 +274,14 @@ class SamplingPipeline:
         that skips the encode (reference api.py:245-277, do_img2img
         skip_encode=True) with orig/crop sizes derived from the latents and
         aesthetic scores 6.0 / 2.5."""
-        p = self.pipeline
-        rng = rng if rng is not None else jax.random.PRNGKey(0)
         z = jnp.asarray(latents)
-        b, h, w = z.shape[0], z.shape[1] * 8, z.shape[2] * 8
+        h, w = z.shape[1] * 8, z.shape[2] * 8
         rp = dataclasses.replace(
             params,
             width=w, height=h, orig_width=w, orig_height=h,
             crop_coords_top=0, crop_coords_left=0,
             aesthetic_score=6.0, negative_aesthetic_score=2.5,
         )
-        sampler = self._make_sampler(rp)
-        guider = self._guider(rp)
-        c, uc = self._make_cond(rp, prompt_tokens, negative_prompt_tokens, b)
-        t_start = int(rp.steps * (1.0 - rp.img2img_strength))
-        r_noise, r_loop = jax.random.split(rng)
-        noised = sampler.add_noise(r_noise, z, noise_level=t_start)
-        zf, _ = sampler(
-            self._denoise_fn(c, uc, guider), noised, t_start=t_start, rng=r_loop
+        return self._denoise_from_latent(
+            rp, z, prompt_tokens, negative_prompt_tokens, rng
         )
-        frames = p.first_stage.decode(zf)
-        return jnp.clip((frames + 1.0) / 2.0, 0.0, 1.0)

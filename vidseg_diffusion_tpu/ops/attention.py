@@ -63,7 +63,7 @@ def mha_reference(
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, kv_len,
-                  block_k, blhd=False):
+                  block_k):
     """One (q-block, k-block) tile of online-softmax attention.
 
     VPU-lean formulation (the kernel is VPU/MXU mixed-bound at the VidSeg
@@ -74,8 +74,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, kv_len,
       on the tail block that actually contains padding
     - the single-k-block grid skips the online-rescaling machinery entirely
     """
-    kb = pl.program_id(3 if blhd else 2)
-    nkb = pl.num_programs(3 if blhd else 2)
+    kb = pl.program_id(2)
+    nkb = pl.num_programs(2)
 
     @pl.when(kb == 0)
     def _init():
@@ -86,14 +86,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, kv_len,
     # dots run in the input dtype (bf16 on the model path) with fp32
     # accumulation — the MXU's native mode; upcasting the inputs to f32
     # first would force the much slower multi-pass f32 matmul
-    if blhd:  # blocks [1, bl, 1, d] sliced from [B, L, H, D]
-        q = q_ref[0, :, 0, :]  # [bq, d] (pre-scaled)
-        k = k_ref[0, :, 0, :]  # [bk, d]
-        v = v_ref[0, :, 0, :]  # [bk, d]
-    else:
-        q = q_ref[0]  # [bq, d] (pre-scaled)
-        k = k_ref[0]  # [bk, d]
-        v = v_ref[0]  # [bk, d]
+    q = q_ref[0]  # [bq, d] (pre-scaled)
+    k = k_ref[0]  # [bk, d]
+    v = v_ref[0]  # [bk, d]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -118,15 +113,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, kv_len,
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    def store(val):
-        if blhd:
-            o_ref[0, :, 0, :] = val
-        else:
-            o_ref[0] = val
-
     if nkb == 1:
         # single pass: no rescaling, no accumulator round-trip
-        store((pv / psum).astype(o_ref.dtype))
+        o_ref[0] = (pv / psum).astype(o_ref.dtype)
     else:
         alpha = jnp.exp2(m_prev - m_next)
         l_next = alpha * l_prev + psum
@@ -136,7 +125,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, kv_len,
 
         @pl.when(kb == nkb - 1)
         def _finalize():
-            store((acc_ref[:] / l_ref[:]).astype(o_ref.dtype))
+            o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -247,7 +236,7 @@ def _flash_attention_impl(
         q = jnp.moveaxis(q, 2, 1)
         k = jnp.moveaxis(k, 2, 1)
         v = jnp.moveaxis(v, 2, 1)
-        out = flash_attention(
+        out = _flash_attention_impl(
             q, k, v, scale=scale, block_q=block_q, block_k=block_k,
             interpret=interpret, layout="bhld",
         )
@@ -337,8 +326,6 @@ def _flash_kernel_packed(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
         m_prev = m_ref[:, hh:hh + 1]
         l_prev = l_ref[:, hh:hh + 1]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
-        p_unscaled = None
-        pv = None
         if nkb == 1:
             p = jnp.exp2(s - m_cur)
             psum = jnp.sum(p, axis=-1, keepdims=True)
@@ -501,16 +488,19 @@ def _small_seq_kernel(q_ref, k_ref, v_ref, o_ref, *, lq, lk, heads, d, fold):
         o_ref[0, :, sl] = (pv / psum).astype(o_ref.dtype)
 
 
-def _best_fold(b: int, lq: int, lk: int, hd: int, rows_cap: int = 512) -> int:
+def _best_fold(b: int, lq: int, lk: int, hd: int, itemsize: int = 2,
+               rows_cap: int = 512) -> int:
     """Largest divisor of B whose folded tile fits the rows cap AND the VMEM
-    budget (q/k/v/out blocks double-buffered + one head's f32 logits)."""
+    budget (q/k/v/out blocks double-buffered + one head's f32 logits).
+    `itemsize` is the q/k/v element size — hardcoding 2 under-counted f32
+    tiles by half."""
     cap = max(1, rows_cap // max(lq, lk))
     budget = 12 * 1024 * 1024
     for f in range(cap, 0, -1):
         if b % f:
             continue
         rows, cols = f * lq, f * lk
-        if (2 * rows + 2 * cols) * _round_up(hd, 128) * 2 * 2 + rows * cols * 4 <= budget:
+        if (2 * rows + 2 * cols) * _round_up(hd, 128) * 2 * itemsize                 + rows * cols * 4 <= budget:
             return f
     return 1
 
@@ -535,7 +525,7 @@ def _small_batched_attention_impl(
     if scale is None:
         scale = 1.0 / math.sqrt(d)
     if fold is None:
-        fold = _best_fold(b, lq, lk, h * d)
+        fold = _best_fold(b, lq, lk, h * d, q.dtype.itemsize)
     assert b % fold == 0, (b, fold)
     hd = h * d
     qf = (q * jnp.asarray(scale * _LOG2_E, q.dtype)).reshape(
@@ -714,7 +704,7 @@ def dot_product_attention(
             and layout == "blhd"
             and max(lq, lk) < _FLASH_MIN_SEQ
         ):
-            fold = _best_fold(q.shape[0], lq, lk, q.shape[2] * q.shape[3])
+            fold = _best_fold(q.shape[0], lq, lk, q.shape[2] * q.shape[3], q.dtype.itemsize)
             if fold * lq >= _SMALL_MIN_ROWS:
                 return small_batched_attention(q, k, v, scale=scale, fold=fold)
         use_flash = on_tpu and lq >= _FLASH_MIN_SEQ and lk >= _FLASH_MIN_SEQ

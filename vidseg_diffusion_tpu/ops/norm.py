@@ -110,7 +110,9 @@ def _affine_from_stats(stats, scale, bias, groups, eps, n_spatial):
     gsum = stats[:, 0].reshape(b, groups, c // groups).sum(-1)   # [B, G]
     gss = stats[:, 1].reshape(b, groups, c // groups).sum(-1)
     mean = gsum / n
-    var = gss / n - mean * mean
+    # clamp: E[x^2]-E[x]^2 can go negative from f32 roundoff on
+    # near-constant groups (flax nn.GroupNorm clamps identically)
+    var = jnp.maximum(0.0, gss / n - mean * mean)
     inv = jax.lax.rsqrt(var + eps)                                # [B, G]
     per_ch = lambda g: jnp.repeat(g, c // groups, axis=1)         # [B, C]
     a = per_ch(inv) * scale[None, :].astype(jnp.float32)
@@ -225,7 +227,7 @@ def group_norm_xla(
     gs = s.reshape(b, groups, -1).sum(-1)    # [B, G]
     gss = ss.reshape(b, groups, -1).sum(-1)
     mean = gs / n
-    var = gss / n - mean * mean
+    var = jnp.maximum(0.0, gss / n - mean * mean)  # roundoff clamp (see above)
     inv = jax.lax.rsqrt(var + eps)
     rep = lambda g: jnp.repeat(g, c // groups, axis=1)  # [B, G] -> [B, C]
     a = rep(inv) * scale[None].astype(jnp.float32)
@@ -248,7 +250,9 @@ def group_norm_reference(
     b, c = x.shape[0], x.shape[-1]
     xg = x.reshape(b, -1, groups, c // groups).astype(jnp.float32)
     m = jnp.mean(xg, axis=(1, 3), keepdims=True)
-    v = jnp.mean(jnp.square(xg), axis=(1, 3), keepdims=True) - jnp.square(m)
+    v = jnp.maximum(
+        0.0, jnp.mean(jnp.square(xg), axis=(1, 3), keepdims=True) - jnp.square(m)
+    )
     y = (xg - m) * jax.lax.rsqrt(v + eps)
     y = y.reshape(x.shape) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     if silu:

@@ -60,14 +60,7 @@ def _kernel(x_ref, w_ref, b_ref, o_ref, *, t_frames, kt, bm):
     o_ref[0] = acc.astype(o_ref.dtype).reshape(t_frames, bm, bn)
 
 
-def _pick_block(dim: int, cap: int, step: int) -> int:
-    """Largest multiple of `step` <= cap that divides `dim` exactly, else
-    cap (Pallas crops the ragged tail block)."""
-    cap = min(cap, dim)
-    for b in range(cap - cap % step, 0, -step):
-        if dim % b == 0:
-            return b
-    return max(step, cap - cap % step)
+from vidseg_diffusion_tpu.ops.matmul import _pick as _pick_block  # shared picker
 
 
 def _plan(t_frames, m, cin, cout, kt, itemsize):

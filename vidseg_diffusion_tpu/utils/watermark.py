@@ -154,19 +154,33 @@ def _decode_plane(ll: np.ndarray, n_bits: int, scale: float) -> List[List[float]
     return out
 
 
+def _infer_unit_range(frames: np.ndarray, unit_range) -> bool:
+    """[0,1] vs [0,255] decision: explicit flag > integer dtype (always
+    byte range) > float max heuristic. The heuristic alone misread
+    near-black [0,255] images (max <= 1.5) as unit range and returned
+    them ~255x darker."""
+    if unit_range is not None:
+        return bool(unit_range)
+    if np.issubdtype(np.asarray(frames).dtype, np.integer):
+        return False
+    return float(np.max(frames)) <= 1.5
+
+
 def embed_watermark_frames(
-    frames: np.ndarray, bits: Sequence[int] = WATERMARK_BITS
+    frames: np.ndarray, bits: Sequence[int] = WATERMARK_BITS,
+    unit_range: bool = None,
 ) -> np.ndarray:
     """Embed the watermark into [B, H, W, 3] (or [H, W, 3]) RGB frames.
 
     Accepts [0, 1] floats or [0, 255]; returns the same range/dtype family
-    (float). Images smaller than 256x256 pass through unchanged (the
-    decoder refuses them, detect.py:39)."""
+    (float). Pass `unit_range` explicitly for near-black float frames
+    (see _infer_unit_range). Images smaller than 256x256 pass through
+    unchanged (the decoder refuses them, detect.py:39)."""
+    unit_range = _infer_unit_range(frames, unit_range)
     frames = np.asarray(frames, np.float64)
     squeeze = frames.ndim == 3
     if squeeze:
         frames = frames[None]
-    unit_range = frames.max() <= 1.5
     px = frames * 255.0 if unit_range else frames.copy()
     out = np.empty_like(px)
     for i, img in enumerate(px):
@@ -184,14 +198,15 @@ def embed_watermark_frames(
 
 
 def decode_watermark_bits(
-    frames: np.ndarray, n_bits: int = len(WATERMARK_BITS)
+    frames: np.ndarray, n_bits: int = len(WATERMARK_BITS),
+    unit_range: bool = None,
 ) -> np.ndarray:
     """Reconstruct the embedded bits from RGB frames -> [B, n_bits] (0/1)."""
+    unit_range = _infer_unit_range(frames, unit_range)
     frames = np.asarray(frames, np.float64)
     squeeze = frames.ndim == 3
     if squeeze:
         frames = frames[None]
-    unit_range = frames.max() <= 1.5
     px = frames * 255.0 if unit_range else frames
     res = np.empty((px.shape[0], n_bits), dtype=np.int64)
     for i, img in enumerate(px):
