@@ -1,8 +1,9 @@
 """Reverse-mode AD through every Pallas kernel (custom_vjp wrappers):
 pallas_call alone rejects reverse-mode, and all five kernels sit on the
 TPU training path (CrossAttention projections, video ResBlocks, SDPA).
-Grads must match the jnp reference's grads exactly (the backward IS the
-reference VJP; this guards wiring, shapes, and dtype routing)."""
+Grads must match the jnp reference's grads (matmul/conv backwards are the
+reference VJP; attention backwards are the memory-efficient chunked
+formulation — same math, never materializing the [Lq, Lk] logits)."""
 
 import numpy as np
 import jax
@@ -137,3 +138,28 @@ def test_grad_through_cross_attention_forced_dispatch():
     assert np.isfinite(float(val))
     finite = jax.tree.map(lambda g: bool(np.isfinite(np.asarray(g)).all()), grads)
     assert all(jax.tree_util.tree_leaves(finite))
+
+
+def test_chunked_backward_multiblock_padded():
+    """_attention_bwd_chunked with several k-blocks and a ragged tail must
+    equal the dense reference VJP (masking + padding path)."""
+    from vidseg_diffusion_tpu.ops.attention import _attention_bwd_chunked
+
+    rng = jax.random.PRNGKey(9)
+    n, lq, lk, d = 3, 64, 300, 16  # lk % 128 != 0 -> padded tail block
+    q = jax.random.normal(rng, (n, lq, d))
+    k = jax.random.normal(jax.random.fold_in(rng, 1), (n, lk, d))
+    v = jax.random.normal(jax.random.fold_in(rng, 2), (n, lk, d))
+    g = jax.random.normal(jax.random.fold_in(rng, 3), (n, lq, d))
+    scale = 1.0 / np.sqrt(d)
+
+    def ref(q_, k_, v_):
+        s = jnp.einsum("nqd,nkd->nqk", q_, k_) * scale
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("nqk,nkd->nqd", p, v_)
+
+    out, vjp = jax.vjp(ref, q, k, v)
+    want = vjp(g)
+    got = _attention_bwd_chunked(q, k, v, out, g, scale, block_k=128)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)

@@ -568,11 +568,77 @@ _SMALL_MIN_ROWS = 112
 
 # ---------------------------------------------------------------------------
 # Reverse-mode AD for the Pallas kernels. pallas_call supports only forward
-# evaluation; these custom_vjp wrappers run the kernel forward and fall back
-# to the jnp reference's VJP for the backward pass. NOTE: the attention
-# backward materializes the [Lq, Lk] logits (O(L^2) memory) — fine for the
-# training shapes in-repo; a Pallas flash backward kernel is future work.
+# evaluation; these custom_vjp wrappers run the kernel forward and use the
+# memory-efficient chunked backward (_attention_bwd_chunked) — the [Lq, Lk]
+# logits are never materialized, so training fits HBM at the same shapes
+# the forward kernel exists for. A fused Pallas backward is future work.
 # ---------------------------------------------------------------------------
+
+
+def _attention_bwd_chunked(q, k, v, out, g, scale,
+                           block_k: int = 1024):
+    """Memory-efficient attention backward (flash-style two-pass) in jnp.
+
+    q/k/v/out/g are [N, L, D] (batch·heads flattened). Never materializes
+    the [Lq, Lk] logits — a lax.scan over k-blocks streams a [N, Lq, bk]
+    chunk (pass 1: logsumexp; pass 2: dq/dk/dv via
+    ds = p ∘ (dp − rowsum(g∘out))). At swan ds=1 the naive reference VJP's
+    f32 logits are ~19 GB > HBM; this is O(N·Lq·bk)."""
+    n, lq, d = q.shape
+    lk = k.shape[1]
+    bk = min(block_k, lk)
+    nb = -(-lk // bk)
+    pad = nb * bk - lk
+    f32 = jnp.float32
+    qs = q.astype(f32) * scale
+    kp = jnp.pad(k.astype(f32), ((0, 0), (0, pad), (0, 0)))
+    vp = jnp.pad(v.astype(f32), ((0, 0), (0, pad), (0, 0)))
+    gf = g.astype(f32)
+    kb = kp.reshape(n, nb, bk, d).transpose(1, 0, 2, 3)   # [nb, N, bk, D]
+    vb = vp.reshape(n, nb, bk, d).transpose(1, 0, 2, 3)
+    valid = (
+        jnp.arange(bk).reshape(1, 1, 1, bk)
+        + jnp.arange(nb).reshape(nb, 1, 1, 1) * bk
+    ) < lk                                                 # [nb, 1, 1, bk]
+
+    def lse_step(carry, inp):
+        m, l = carry                                       # [N, Lq]
+        kblk, msk = inp
+        s = jnp.einsum("nqd,nkd->nqk", qs, kblk)
+        s = jnp.where(msk, s, -jnp.inf)
+        m_new = jnp.maximum(m, s.max(-1))
+        l_new = l * jnp.exp(m - m_new) + jnp.exp(s - m_new[..., None]).sum(-1)
+        return (m_new, l_new), None
+
+    # block 0 always holds valid keys (padding is a tail), so m is finite
+    # after the first step and exp(m - m_new) never hits inf-inf
+    (m, l), _ = jax.lax.scan(
+        lse_step,
+        (jnp.full((n, lq), -jnp.inf, f32), jnp.zeros((n, lq), f32)),
+        (kb, valid),
+    )
+    lse = m + jnp.log(l)
+    d_row = jnp.sum(gf * out.astype(f32), axis=-1)         # [N, Lq]
+
+    def bwd_step(dq_acc, inp):
+        kblk, vblk, msk = inp
+        s = jnp.einsum("nqd,nkd->nqk", qs, kblk)
+        s = jnp.where(msk, s, -jnp.inf)
+        pblk = jnp.exp(s - lse[..., None])
+        dp = jnp.einsum("nqd,nkd->nqk", gf, vblk)
+        ds = pblk * (dp - d_row[..., None])
+        dq_acc = dq_acc + jnp.einsum("nqk,nkd->nqd", ds, kblk)
+        dkb = jnp.einsum("nqk,nqd->nkd", ds, qs)
+        dvb = jnp.einsum("nqk,nqd->nkd", pblk, gf)
+        return dq_acc, (dkb, dvb)
+
+    dq, (dkb, dvb) = jax.lax.scan(
+        bwd_step, jnp.zeros((n, lq, d), f32), (kb, vb, valid)
+    )
+    dq = (dq * scale).astype(q.dtype)
+    dk = dkb.transpose(1, 0, 2, 3).reshape(n, nb * bk, d)[:, :lk].astype(k.dtype)
+    dv = dvb.transpose(1, 0, 2, 3).reshape(n, nb * bk, d)[:, :lk].astype(v.dtype)
+    return dq, dk, dv
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
@@ -584,16 +650,25 @@ def _fa(scale, block_q, block_k, interpret, layout, q, k, v):
 
 
 def _fa_fwd(scale, block_q, block_k, interpret, layout, q, k, v):
-    return _fa(scale, block_q, block_k, interpret, layout, q, k, v), (q, k, v)
+    out = _fa(scale, block_q, block_k, interpret, layout, q, k, v)
+    return out, (q, k, v, out)
 
 
 def _fa_bwd(scale, block_q, block_k, interpret, layout, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: mha_reference(q_, k_, v_, scale=scale, layout=layout),
-        q, k, v,
+    q, k, v, out = res
+    eff = scale if scale is not None else 1.0 / math.sqrt(q.shape[-1])
+    if layout == "blhd":
+        to = lambda t: t.transpose(0, 2, 1, 3)
+    else:
+        to = lambda t: t
+    qt, kt, vt, ot, gt = (to(t) for t in (q, k, v, out, g))
+    sh = qt.shape
+    flat = lambda t: t.reshape(sh[0] * sh[1], t.shape[2], t.shape[3])
+    dq, dk, dv = _attention_bwd_chunked(
+        flat(qt), flat(kt), flat(vt), flat(ot), flat(gt), eff
     )
-    return vjp(g)
+    unflat = lambda t: to(t.reshape(sh[0], sh[1], t.shape[1], t.shape[2]))
+    return unflat(dq), unflat(dk), unflat(dv)
 
 
 _fa.defvjp(_fa_fwd, _fa_bwd)
@@ -614,26 +689,34 @@ def _fap(heads, scale, block_q, block_k, interpret, q, k, v):
 
 
 def _fap_fwd(heads, scale, block_q, block_k, interpret, q, k, v):
-    return _fap(heads, scale, block_q, block_k, interpret, q, k, v), (q, k, v)
+    out = _fap(heads, scale, block_q, block_k, interpret, q, k, v)
+    return out, (q, k, v, out)
 
 
 def _fap_bwd(heads, scale, block_q, block_k, interpret, res, g):
-    q, k, v = res
+    q, k, v, out = res
     b, lq, hd = q.shape
     lk = k.shape[1]
     d = hd // heads
+    eff = scale if scale is not None else 1.0 / math.sqrt(d)
 
-    def ref(q_, k_, v_):
-        out = mha_reference(
-            q_.reshape(b, lq, heads, d),
-            k_.reshape(b, lk, heads, d),
-            v_.reshape(b, lk, heads, d),
-            scale=scale, layout="blhd",
+    def flat(t, l):
+        # [B, L, H·D] -> [B·H, L, D]
+        return t.reshape(b, l, heads, d).transpose(0, 2, 1, 3).reshape(
+            b * heads, l, d
         )
-        return out.reshape(b, lq, hd)
 
-    _, vjp = jax.vjp(ref, q, k, v)
-    return vjp(g.reshape(b, lq, hd))
+    dq, dk, dv = _attention_bwd_chunked(
+        flat(q, lq), flat(k, lk), flat(v, lk), flat(out, lq),
+        flat(g.reshape(b, lq, hd), lq), eff,
+    )
+
+    def unflat(t, l):
+        return t.reshape(b, heads, l, d).transpose(0, 2, 1, 3).reshape(
+            b, l, hd
+        )
+
+    return unflat(dq, lq), unflat(dk, lk), unflat(dv, lk)
 
 
 _fap.defvjp(_fap_fwd, _fap_bwd)
@@ -653,16 +736,21 @@ def _sba(scale, fold, interpret, q, k, v):
 
 
 def _sba_fwd(scale, fold, interpret, q, k, v):
-    return _sba(scale, fold, interpret, q, k, v), (q, k, v)
+    out = _sba(scale, fold, interpret, q, k, v)
+    return out, (q, k, v, out)
 
 
 def _sba_bwd(scale, fold, interpret, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: mha_reference(q_, k_, v_, scale=scale, layout="blhd"),
-        q, k, v,
+    q, k, v, out = res
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    eff = scale if scale is not None else 1.0 / math.sqrt(d)
+    flat = lambda t, l: t.transpose(0, 2, 1, 3).reshape(b * h, l, t.shape[-1])
+    dq, dk, dv = _attention_bwd_chunked(
+        flat(q, lq), flat(k, lk), flat(v, lk), flat(out, lq), flat(g, lq), eff
     )
-    return vjp(g)
+    unflat = lambda t, l: t.reshape(b, h, l, d).transpose(0, 2, 1, 3)
+    return unflat(dq, lq), unflat(dk, lk), unflat(dv, lk)
 
 
 _sba.defvjp(_sba_fwd, _sba_bwd)
