@@ -108,3 +108,46 @@ def test_fsdp_step_matches_replicated():
     )
     # state stayed sharded through the step
     assert p_s["conv"]["kernel"].sharding.spec == P(None, None, None, "data")
+
+def test_fsdp_unet_train_step():
+    """FSDP over the real (tiny) UNet + optax adam: params/opt-state stay
+    sharded through a remat'd diffusion train step on the 8-device mesh."""
+    import optax
+
+    from vidseg_diffusion_tpu.models.unet import UNetConfig, UNetModel
+
+    cfg = UNetConfig(
+        in_channels=4, out_channels=4, model_channels=16, num_res_blocks=1,
+        attention_resolutions=(2,), channel_mult=(1, 2), num_head_channels=8,
+        context_dim=12, remat=True,
+    )
+    model = UNetModel(cfg)
+    b = 8
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, 8, 8, 4))
+    ts = jnp.full((b,), 0.3)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (b, 2, 12))
+    params = model.init(jax.random.PRNGKey(2), x, ts, ctx)["params"]
+
+    mesh = make_mesh(8, axes=("data",), shape=(8,))
+    opt = optax.adam(1e-4)
+    psh = fsdp_shardings(params, mesh)
+
+    def loss_fn(p, rng, batch):
+        out = model.apply({"params": p}, batch, ts, ctx)
+        return jnp.mean(out**2)
+
+    p_s = shard_tree(params, psh)
+    o_s = jax.jit(
+        opt.init, out_shardings=fsdp_shardings(opt.init(params), mesh)
+    )(p_s)
+    dsh = NamedSharding(mesh, P("data"))
+    step = jax.jit(fsdp_train_step(loss_fn, opt, psh, batch_sharding=dsh))
+    p2, o2, loss = step(p_s, o_s, jax.random.PRNGKey(3), jax.device_put(x, dsh))
+    assert np.isfinite(float(loss))
+    # a representative conv kernel stayed sharded on its Cout axis
+    flat = jax.tree_util.tree_leaves_with_path(p2)
+    sharded_leaves = [
+        leaf for path, leaf in flat
+        if hasattr(leaf, "sharding") and leaf.sharding.spec != P()
+    ]
+    assert len(sharded_leaves) > 0
