@@ -134,3 +134,101 @@ def test_run_single_video_mesh_equals_host(tmp_path):
     assert agree > 0.95, f"seg agreement {agree:.4f}"
     agree_f = (res_mesh.seg_filtered == res_host.seg_filtered).mean()
     assert agree_f > 0.95, f"filtered seg agreement {agree_f:.4f}"
+
+
+def _tiny_engine(s_churn=0.0, guider=None):
+    cfg = UNetConfig(
+        in_channels=8, out_channels=4, model_channels=32, num_res_blocks=1,
+        attention_resolutions=(1,), channel_mult=(1,), num_head_channels=16,
+        context_dim=16, adm_in_channels=8, video=True,
+    )
+    unet = UNetModel(cfg)
+    x0 = jnp.zeros((2 * T, H, W, 8))
+    params = unet.init(
+        jax.random.PRNGKey(0), x0, jnp.zeros((2 * T,)),
+        jnp.zeros((2 * T, 1, 16)), jnp.zeros((2 * T, 8)),
+        num_video_frames=T, image_only_indicator=jnp.zeros((2, T)),
+    )["params"]
+    _, _, out_layout = cfg.block_layout()
+    mod_block = max(i for i, s in enumerate(out_layout) if s.get("attn"))
+    engine = VidSegEngine(
+        unet=unet,
+        denoiser=Denoiser(scaling=VScalingWithEDMcNoise()),
+        sampler=EulerEDMSampler(
+            discretization=EDMDiscretization(sigma_max=700.0),
+            num_steps=STEPS, s_churn=s_churn,
+        ),
+        guider=guider if guider is not None else LinearPredictionGuider(
+            max_scale=2.5, num_frames=T
+        ),
+        mod_cfg=ModulationConfig(
+            modulate_block_idx=(mod_block,), modulate_timestep=(TS,),
+            num_steps=STEPS, num_frames=T,
+            modulate_layer_type=("spatial",), modulate_attn_type=("self_attn",),
+            is_latent_blending=True, is_injected_features=False,
+        ),
+        harvest=svd_harvest_spec(cluster_blocks=()),
+    )
+    return engine, params
+
+
+def _tiny_inputs(m=2):
+    rng = np.random.RandomState(0)
+    noised = jnp.asarray(rng.randn(T, H, W, 4).astype(np.float32) * 0.3)
+    c = {
+        "crossattn": jnp.asarray(rng.randn(T, 1, 16).astype(np.float32)),
+        "vector": jnp.asarray(rng.randn(T, 8).astype(np.float32)),
+        "concat": jnp.asarray(rng.randn(T, H, W, 4).astype(np.float32) * 0.1),
+    }
+    uc = jax.tree.map(jnp.zeros_like, c)
+    masks_tok = jnp.asarray((rng.rand(m, T, H * W) > 0.5).astype(np.float32))
+    masks_lat = masks_tok.reshape(m, T, H, W)
+    cache = {"xt": jnp.asarray(rng.randn(STEPS, T, H, W, 4).astype(np.float32))}
+    return noised, c, uc, masks_tok, masks_lat, cache
+
+
+def test_s_churn_consistent_across_dispatch_paths():
+    """With s_churn > 0 the host-stepped path must apply the same per-step
+    gamma sigma-scaling as the scan-based batched path (it silently
+    dropped gamma before — same video, different numbers per path)."""
+    engine, params = _tiny_engine(s_churn=1.5)
+    noised, c, uc, masks_tok, masks_lat, cache = _tiny_inputs()
+    m = masks_tok.shape[0]
+    batched = engine.modulated_runs_batched(
+        params, noised, c, uc, masks_tok, masks_lat, cache, TS, chunk=2 * m
+    )
+    stepped = engine.modulated_runs_host_stepped(
+        params, noised, c, uc, masks_tok, masks_lat, cache, TS
+    )
+    np.testing.assert_allclose(
+        np.asarray(stepped), np.asarray(batched), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_host_chunked_non_divisor_chunk():
+    """chunk=4 with 2*m=6 runs must not crash (the old assert fired after
+    the expensive feature pass); result still equals batched."""
+    engine, params = _tiny_engine()
+    noised, c, uc, masks_tok, masks_lat, cache = _tiny_inputs(m=3)
+    batched = engine.modulated_runs_batched(
+        params, noised, c, uc, masks_tok, masks_lat, cache, TS, chunk=6
+    )
+    chunked = engine.modulated_runs_host_chunked(
+        params, noised, c, uc, masks_tok, masks_lat, cache, TS, chunk=4
+    )
+    np.testing.assert_allclose(
+        np.asarray(chunked), np.asarray(batched), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_identity_guider_video_forward():
+    """IdentityGuider (batch factor 1) must run the video engine — the
+    image_only_indicator rows were hardcoded to 2."""
+    from vidseg_diffusion_tpu.diffusion import IdentityGuider
+
+    engine, params = _tiny_engine(guider=IdentityGuider())
+    noised, c, uc, masks_tok, masks_lat, cache = _tiny_inputs()
+    out = engine.modulated_runs_batched(
+        params, noised, c, uc, masks_tok, masks_lat, cache, TS, chunk=4
+    )
+    assert np.isfinite(np.asarray(out)).all()

@@ -174,7 +174,12 @@ class VidSegEngine:
             b = x.shape[0]
             s = jnp.full((b,), sigma, dtype=x.dtype)
             x_in, s_in, cond = self.guider.prepare_inputs(x, s, c, uc)
-            ioi = jnp.zeros((2, num_video_frames), dtype=x.dtype)
+            # rows follow the guider's batch factor (2 for CFG guiders, 1
+            # for IdentityGuider — the hardcoded 2 broke the latter)
+            ioi = jnp.zeros(
+                (x_in.shape[0] // num_video_frames, num_video_frames),
+                dtype=x.dtype,
+            )
             hooks = hooks_fn(i) if hooks_fn is not None else None
             if collect and hooks is None:
                 # sow only at harvested sites — sowing every block's q/k
@@ -234,12 +239,12 @@ class VidSegEngine:
         # concrete arrays become giant embedded constants (1.5B params +
         # the GB-scale feature cache) that multiply compile time ~10×.
         def step_impl(params_, cache_, c_, uc_, x, i, sigma, next_sigma,
-                      masks_tok, masks_lat, lam):
+                      gamma, masks_tok, masks_lat, lam):
             hooks_fn = self._build_hooks_fn(masks_tok, lam, cache_)
             denoise_fn = self._denoise_fn(
                 params_, c_, uc_, cfg.num_frames, hooks_fn=hooks_fn, collect=False
             )
-            x, _ = sampler.step(denoise_fn, x, sigma, next_sigma, i)
+            x, _ = sampler.step(denoise_fn, x, sigma, next_sigma, i, gamma)
             if blend and "xt" in cache_:
                 mlat = masks_lat[:, :, :, None]
                 gate = (i >= b_start) & (i <= b_end)
@@ -263,7 +268,7 @@ class VidSegEngine:
         blend = cfg.is_latent_blending
 
         def step_impl(params_, dev_cache_, step_inj_, c_, uc_, x, i, sigma,
-                      next_sigma, masks_tok, masks_lat, lam):
+                      next_sigma, gamma, masks_tok, masks_lat, lam):
             # harvest entries that stayed in the DEVICE cache (e.g. the
             # cluster blocks' spatial_self q, which the mask stage needs
             # resident) must still inject: merge their per-step slice into
@@ -281,7 +286,7 @@ class VidSegEngine:
             denoise_fn = self._denoise_fn(
                 params_, c_, uc_, cfg.num_frames, hooks_fn=hooks_fn, collect=False
             )
-            x, _ = sampler.step(denoise_fn, x, sigma, next_sigma, i)
+            x, _ = sampler.step(denoise_fn, x, sigma, next_sigma, i, gamma)
             if blend and "xt" in dev_cache_:
                 mlat = masks_lat[:, :, :, None]
                 gate = (i >= b_start) & (i <= b_end)
@@ -301,11 +306,11 @@ class VidSegEngine:
         cfg = self.mod_cfg
         sampler = self.sampler
 
-        def f(params_, c_, uc_, x, i, sigma, next_sigma):
+        def f(params_, c_, uc_, x, i, sigma, next_sigma, gamma):
             denoise_fn = self._denoise_fn(
                 params_, c_, uc_, cfg.num_frames, collect=True
             )
-            xn, aux = sampler.step(denoise_fn, x, sigma, next_sigma, i)
+            xn, aux = sampler.step(denoise_fn, x, sigma, next_sigma, i, gamma)
             aux = dict(aux)
             aux["xt"] = xn
             return xn, aux
@@ -339,16 +344,34 @@ class VidSegEngine:
         host_steps: Dict[str, list] = {}
         import numpy as np
 
+        gammas = self.sampler._gamma(sigmas, self.sampler.num_steps + 1)
+        pending = None  # previous step's host-bound arrays, copy in flight
+
+        def drain(p):
+            for name, arr in p:
+                host_steps.setdefault(name, []).append(np.asarray(arr))
+
         for i in range(t_start, self.sampler.num_steps):
             x, aux = self.jit_feat_step(
-                params, c, uc, x, jnp.asarray(i), sigmas[i], sigmas[i + 1]
+                params, c, uc, x, jnp.asarray(i), sigmas[i], sigmas[i + 1],
+                gammas[i],
             )
+            to_host = []
             for name, arr in aux.items():
                 if name in host_names:
-                    host_steps.setdefault(name, []).append(np.asarray(arr))
-                    del arr
+                    # start the async D2H now; materialize AFTER the next
+                    # step is dispatched so transfer overlaps compute (a
+                    # blocking np.asarray here serialized ~1 GB/step of
+                    # copies with the denoise steps)
+                    arr.copy_to_host_async()
+                    to_host.append((name, arr))
                 else:
                     dev_steps.setdefault(name, []).append(arr)
+            if pending is not None:
+                drain(pending)
+            pending = to_host
+        if pending is not None:
+            drain(pending)
         dev_cache = {n: jnp.stack(v) for n, v in dev_steps.items()}
         dev_cache["t0"] = jnp.asarray(t_start, jnp.int32)
         host_cache = {n: np.stack(v) for n, v in host_steps.items()}
@@ -397,14 +420,7 @@ class VidSegEngine:
         denoise_fn = self._denoise_fn(
             params, c, uc, cfg.num_frames, collect=True
         )
-
-        def denoise_with_xt(x, sigma, i):
-            den, aux = denoise_fn(x, sigma, i)
-            return den, aux
-
-        x0, aux = self.sampler(
-            denoise_with_xt, noised, t_start=t_start,
-        )
+        x0, aux = self.sampler(denoise_fn, noised, t_start=t_start)
         cache = {name: arr for name, arr in aux.items()}
         cache["t0"] = jnp.asarray(t_start, jnp.int32)
         return x0, cache
@@ -443,14 +459,9 @@ class VidSegEngine:
             noised = pre_noised
         else:
             noised = self.sampler.add_noise(rng, latent, noise_level=t_start)
-        base_fn = self._denoise_fn(params, c, uc, cfg.num_frames, collect=True)
-
-        def denoise_fn(x, sigma, i):
-            return base_fn(x, sigma, i)
-
-        # wrap sampler manually to also emit x_t after the step: use
-        # post_step identity + capture via aux trick — the sampler's aux
-        # comes from denoise_fn (pre-step), so instead re-run scan logic:
+        denoise_fn = self._denoise_fn(params, c, uc, cfg.num_frames, collect=True)
+        # _sample_with_xt re-runs the scan logic because the sampler's aux
+        # comes from denoise_fn (pre-step) while x_t is the post-step latent
         x0, aux = _sample_with_xt(self.sampler, denoise_fn, noised, t_start)
         cache = {name: arr for name, arr in aux.items()}
         cache["t0"] = jnp.asarray(t_start, jnp.int32)
@@ -690,7 +701,7 @@ class VidSegEngine:
             blend = cfg.is_latent_blending
 
             def step_impl(params_, dev_cache_, step_inj_, c_, uc_, x, i,
-                          sigma, next_sigma, mt, ml, lam):
+                          sigma, next_sigma, gamma, mt, ml, lam):
                 def single(x1, mt1, ml1, lam1):
                     if sliced:
                         merged = dict(step_inj_)
@@ -706,7 +717,8 @@ class VidSegEngine:
                     denoise_fn = self._denoise_fn(
                         params_, c_, uc_, cfg.num_frames, hooks_fn=hooks_fn
                     )
-                    xn, _ = sampler.step(denoise_fn, x1, sigma, next_sigma, i)
+                    xn, _ = sampler.step(denoise_fn, x1, sigma, next_sigma, i,
+                                         gamma)
                     if blend and "xt" in dev_cache_:
                         mlat = ml1[:, :, :, None]
                         gate = (i >= b_start) & (i <= b_end)
@@ -723,7 +735,7 @@ class VidSegEngine:
                 step_impl,
                 in_shardings=(
                     repl, repl, repl, repl, repl, rsh,
-                    repl, repl, repl, rsh, rsh, rsh,
+                    repl, repl, repl, repl, rsh, rsh, rsh,
                 ),
                 out_shardings=rsh,
             )
@@ -792,9 +804,10 @@ class VidSegEngine:
                 if cfg.inject_step_static(i)
             }
         n_steps = sampler.num_steps - t_start
+        gammas = sampler._gamma(sigmas, sampler.num_steps + 1)
         for n, i in enumerate(range(t_start, sampler.num_steps)):
             args = (c_r, uc_r, xs, jnp.asarray(i), sigmas[i], sigmas[i + 1],
-                    mt_r, ml_r, lam_r)
+                    gammas[i], mt_r, ml_r, lam_r)
             if host_inj is not None and i in inject_steps:
                 step_inj = {
                     name: jax.device_put(jnp.asarray(arr[i - t0]), repl)
@@ -848,15 +861,17 @@ class VidSegEngine:
                 if cfg.inject_step_static(i)
             }
 
+        gammas = sampler._gamma(sigmas, sampler.num_steps + 1)
+
         def step_fn(step_inj, x, i, sigma, next_sigma, masks_tok, masks_lat, lam):
             if step_inj is not None:
                 return self.jit_mod_step_sliced(
                     params, cache, step_inj, c, uc, x, jnp.asarray(i),
-                    sigma, next_sigma, masks_tok, masks_lat, lam,
+                    sigma, next_sigma, gammas[i], masks_tok, masks_lat, lam,
                 )
             return self.jit_mod_step(
                 params, cache, c, uc, x, jnp.asarray(i), sigma, next_sigma,
-                masks_tok, masks_lat, lam,
+                gammas[i], masks_tok, masks_lat, lam,
             )
 
         m = masks_tokens.shape[0]
@@ -934,7 +949,11 @@ class VidSegEngine:
         run_signs = jnp.repeat(signs, m)
         total = 2 * m
         chunk = min(chunk, total)
-        assert total % chunk == 0, (total, chunk)
+        # the chunk loop needs an exact tiling; M is user/data dependent
+        # (num_masks, or the GT label count), so round DOWN to the largest
+        # divisor — never crash after the expensive feature pass
+        while total % chunk:
+            chunk -= 1
 
         # params/noised/conds/cache as jit ARGUMENTS (closed-over arrays
         # embed as compile-time constants and explode compile time)
@@ -1045,16 +1064,19 @@ def _sample_with_xt(sampler: EulerEDMSampler, denoise_fn, x, t_start):
     num_sigmas = sampler.num_steps + 1
     x = sampler.prescale(x, sigmas)
     idxs = jnp.arange(t_start, num_sigmas - 1)
+    gammas = sampler._gamma(sigmas, num_sigmas)[idxs]
 
     def body(carry, per_step):
         xc = carry
-        i, sigma, next_sigma = per_step
-        xn, aux = sampler.step(denoise_fn, xc, sigma, next_sigma, i)
+        i, sigma, next_sigma, gamma = per_step
+        xn, aux = sampler.step(denoise_fn, xc, sigma, next_sigma, i, gamma)
         aux = dict(aux)
         aux["xt"] = xn
         return xn, aux
 
-    x, aux = jax.lax.scan(body, x, (idxs, sigmas[idxs], sigmas[idxs + 1]))
+    x, aux = jax.lax.scan(
+        body, x, (idxs, sigmas[idxs], sigmas[idxs + 1], gammas)
+    )
     return x, aux
 
 

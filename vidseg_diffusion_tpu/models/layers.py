@@ -210,10 +210,13 @@ class Modulation:
             * self.lam.astype(out.dtype)
         )  # [T]
         add = scale[:, None] * self.masks.astype(out.dtype)  # [T, L]
+        # modulated runs are single-video; multi-video parallelism is a
+        # vmap/shard axis above the UNet, not a batch here. CFG guiders
+        # present [uc(T); c(T)]; IdentityGuider presents just [c(T)].
+        if out.shape[0] == t:
+            return out + add[:, :, None]
         uc_part = add if self.modulate_uc else jnp.zeros_like(add)
         full = jnp.concatenate([uc_part, add], axis=0)  # [2T, L]
-        # modulated runs are single-video ([uc(T); c(T)] batch); multi-video
-        # parallelism is a vmap/shard axis above the UNet, not a batch here
         assert out.shape[0] == 2 * t, (out.shape, t)
         return out + full[:, :, None]
 
@@ -225,6 +228,8 @@ class Modulation:
             * self.frame_gate.astype(out.dtype)
             * self.lam.astype(out.dtype)
         )[None, :] * self.masks.astype(out.dtype).T  # [L, T]
+        if out.shape[0] == addT.shape[0]:  # un-doubled batch (IdentityGuider)
+            return out + addT[:, :, None]
         uc_part = addT if self.modulate_uc else jnp.zeros_like(addT)
         full = jnp.concatenate([uc_part, addT], axis=0)  # [2L, T]
         assert out.shape[0] == full.shape[0], (out.shape, full.shape)

@@ -126,6 +126,14 @@ def _resolve_blocks(unet_cfg, blocks: Sequence[int], mod_cfg: ModulationConfig):
     resolved, divisors = [], {}
     used = set()
     for b in blocks:
+        if len(out_layout) == 12 and b not in attn:
+            # full reference topology: a non-attention index is a user
+            # error, not a retarget case — silently modulating a different
+            # block than the reference would diverges without a trace
+            raise ValueError(
+                f"block {b} has no attention on the full 12-block UNet "
+                f"(attention blocks: {sorted(attn)})"
+            )
         if b in attn and len(out_layout) == 12:
             idx = b
         else:
@@ -206,17 +214,20 @@ def make_harvest(
 def estimate_injected_cache_bytes(
     harvest, out_layout, dtype, h_lat: int, w_lat: int, t: int,
     num_steps: int, t_start: int, cluster_blocks: Sequence[int],
+    track_blocks: Sequence[int] = (),
 ) -> Dict[str, int]:
     """Per-entry HBM bytes of the windowed injected q/k cache (excluding
-    the cluster blocks' spatial q, which must stay device-resident for the
-    mask stage). Used both by run_single_video's host-offload decision and
-    by the memory-budget tests."""
+    the cluster AND refine-tracking blocks' spatial q, which must stay
+    device-resident for the mask stage — offloading the track block made
+    the is_refine_mask lookup KeyError). Used both by run_single_video's
+    host-offload decision and by the memory-budget tests."""
     from vidseg_diffusion_tpu.engine.vidseg import HarvestSpec
 
     itemsize = jnp.dtype(dtype).itemsize
     w_steps = num_steps - t_start
     cluster_names = {
-        HarvestSpec.name(b, "spatial_self", "q") for b in cluster_blocks
+        HarvestSpec.name(b, "spatial_self", "q")
+        for b in tuple(cluster_blocks) + tuple(track_blocks)
     }
     est: Dict[str, int] = {}
     for b, site, tensor in harvest.entries:
@@ -333,6 +344,7 @@ def run_single_video(
         ctx = pipeline.clip_apply(empty)  # [1, 77, 1024]
         c = {"crossattn": jnp.repeat(ctx, t, axis=0)}
         uc = {"crossattn": jnp.repeat(ctx, t, axis=0)}
+        _mark("conditioning", *c.values())
 
     # ---- steps 1+2: noise/invert + feature/xt pass --------------------------
     # t_start: modulate_timestep for add_noise, 0 for inversion
@@ -362,7 +374,7 @@ def run_single_video(
     if args.is_injected_features:
         est = estimate_injected_cache_bytes(
             engine.harvest, out_layout, unet_cfg.dtype, h_lat, w_lat, t,
-            args.num_steps, t_start_feat, cluster_blocks,
+            args.num_steps, t_start_feat, cluster_blocks, track_blocks,
         )
         if sum(est.values()) > args.injected_cache_budget_gb * 1e9:
             host_names = tuple(sorted(est))
@@ -383,7 +395,22 @@ def run_single_video(
     # ---- step 3: masks ------------------------------------------------------
     # caches are windowed from t0 (engine xt_cache_pass docstring)
     cache_t0 = int(cache.get("t0", 0))
+    if len(args.feature_timestep) != 1:
+        # the reference's feature_timestep is a single step
+        # (svd_single_video_inference.py:48 "24"); silently using [0] would
+        # drop the rest of a multi-entry tuple
+        raise ValueError(
+            f"feature_timestep takes exactly one step, got "
+            f"{args.feature_timestep}"
+        )
     feat_t = args.feature_timestep[0]
+    if feat_t >= args.num_steps:
+        # jax's clamped gather would otherwise silently return the last
+        # cached step's features
+        raise ValueError(
+            f"feature_timestep {feat_t} out of range for num_steps "
+            f"{args.num_steps}"
+        )
     if feat_t < cache_t0:
         raise ValueError(
             f"feature_timestep {feat_t} precedes the cache window start "
