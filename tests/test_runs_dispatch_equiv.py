@@ -232,3 +232,29 @@ def test_identity_guider_video_forward():
         params, noised, c, uc, masks_tok, masks_lat, cache, TS, chunk=4
     )
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_feature_pass_matches_xt_cache_pass():
+    """feature_pass (the minimal harvest API) must produce the same
+    windowed harvest entries as xt_cache_pass (which additionally records
+    the x_t trajectory) — it has no other in-repo caller, so this is its
+    contract test."""
+    engine, params = _tiny_engine()
+    engine = type(engine)(
+        **{**engine.__dict__, "harvest": svd_harvest_spec(cluster_blocks=(0,))}
+    )
+    rng = jax.random.PRNGKey(5)
+    latent = jnp.asarray(np.random.RandomState(1).randn(T, H, W, 4), jnp.float32)
+    noised, c, uc, *_ = _tiny_inputs()
+    x_a, cache_a = engine.feature_pass(params, latent, c, uc, rng, TS)
+    x_b, cache_b = engine.xt_cache_pass(params, latent, c, uc, rng, TS)
+    np.testing.assert_allclose(np.asarray(x_a), np.asarray(x_b), atol=1e-5)
+    assert int(cache_a["t0"]) == int(cache_b["t0"]) == TS
+    for k in cache_a:
+        if k in ("t0",):
+            continue
+        assert k in cache_b
+        np.testing.assert_allclose(
+            np.asarray(cache_a[k]), np.asarray(cache_b[k]), atol=1e-5
+        )
+    assert "xt" in cache_b and "xt" not in cache_a
