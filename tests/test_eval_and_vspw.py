@@ -282,3 +282,31 @@ class TestConfigLoader:
         assert spec.unet_config.adm_in_channels == 768
         assert isinstance(spec.guider, LinearPredictionGuider)
         assert spec.sampler.discretization.sigma_max == 700.0
+
+
+def test_load_gt_for_eval_preserves_numeric_frame_order(tmp_path):
+    """Frames named 0..12 (non-zero-padded, explicitly supported by the
+    loader's numeric stem sort) must reach the evaluator in temporal
+    order — a lexicographic sort shuffled 0,1,10,11,12,2,... and broke the
+    mVC windows."""
+    from PIL import Image as PILImage
+
+    from vidseg_diffusion_tpu.pipelines.vspw import (
+        VSPWVideoResult, _load_gt_for_eval,
+    )
+
+    video_dir = tmp_path / "vid" / "origin"
+    mask_dir = tmp_path / "vid" / "mask"
+    mask_dir.mkdir(parents=True)
+    n = 13
+    seg = {}
+    for i in range(n):  # insertion order IS temporal order
+        seg[str(i)] = np.full((4, 4), i, np.int32)
+        PILImage.fromarray(np.full((4, 4), i, np.uint8)).save(
+            mask_dir / f"{i}.png"
+        )
+    res = VSPWVideoResult(seg=seg, unique_labels=np.arange(n))
+    pred, gt = _load_gt_for_eval(str(video_dir), res)
+    assert pred is not None
+    np.testing.assert_array_equal(pred[:, 0, 0], np.arange(n))
+    np.testing.assert_array_equal(gt[:, 0, 0], np.arange(n))

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vidseg_diffusion_tpu.ops.kmeans import kmeans_fit, kmeans_predict
+from vidseg_diffusion_tpu.ops.kmeans import kmeans_fit
 from vidseg_diffusion_tpu.ops.knn import knn_predict
 from vidseg_diffusion_tpu.ops.matching import (
     dense_tracking,
@@ -130,7 +130,6 @@ def correct_low_res_mask(
     masks: jnp.ndarray,      # [K, T, L] current binary masks
     num_frames: int,
     width: int,              # token-grid width (feature_width)
-    labels: Optional[np.ndarray] = None,  # [K] label ids
 ) -> jnp.ndarray:
     """--is_refine_mask: track every token, drop positive-jump trajectories,
     majority-vote-relabel along survivors (feature_extraction.py:367-461).

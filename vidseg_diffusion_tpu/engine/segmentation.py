@@ -67,7 +67,13 @@ def filter_difference(
     """Down-weight outside-mask difference: d·m + s·d·(1−m)
     (process_output.py:30-38; mask LANCZOS-resized to the map size)."""
     mh, mw = diff.shape[-2:]
-    m = resize_lanczos(masks.astype(jnp.float32) * 255.0, (mh, mw)) / 255.0
+    # PIL's LANCZOS output is a uint8 image, i.e. clamped to [0, 255];
+    # unclamped lanczos ringing pushed m outside [0, 1] and amplified
+    # in-mask difference beyond 1x near boundaries
+    m = jnp.clip(
+        resize_lanczos(masks.astype(jnp.float32) * 255.0, (mh, mw)),
+        0.0, 255.0,
+    ) / 255.0
     return diff * m + filter_s * diff * (1.0 - m)
 
 

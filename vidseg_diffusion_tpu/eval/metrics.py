@@ -124,7 +124,13 @@ class SegmentationEvaluator:
             if vc is not None:
                 store.append(vc)
 
+    @property
+    def has_videos(self) -> bool:
+        return self._cm is not None
+
     def results(self):
+        if self._cm is None:
+            return {}
         iou, present = iou_from_confusion(self._cm)
         denom = max(int(jnp.sum(present)), 1)
         miou = float(jnp.sum(jnp.where(present, iou, 0.0)) / denom)

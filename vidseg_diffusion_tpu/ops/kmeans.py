@@ -66,19 +66,27 @@ def _lloyd(
     k = centers.shape[0]
 
     def step(carry, _):
-        centers, _ = carry
+        centers, prev_shift = carry
+        frozen = prev_shift < tol  # sklearn-style convergence: stop moving
         d2 = _sq_dists(x, centers)
         labels = jnp.argmin(d2, axis=1)
         onehot = jax.nn.one_hot(labels, k, dtype=x.dtype)  # [N, K]
         counts = jnp.sum(onehot, axis=0)  # [K]
         sums = onehot.T @ x  # [K, D]
         new_centers = sums / jnp.maximum(counts, 1.0)[:, None]
-        # empty clusters → farthest point from its center (sklearn relocates
-        # to highest-inertia points)
+        # empty clusters → DISTINCT highest-inertia points (a single
+        # farthest point duplicated across several empty clusters thrashes:
+        # argmin ties to the lower index so the duplicates stay empty)
         min_d2 = jnp.min(d2, axis=1)
-        far = x[jnp.argmax(min_d2)]
-        new_centers = jnp.where((counts == 0)[:, None], far[None, :], new_centers)
-        shift = jnp.sum((new_centers - centers) ** 2)
+        _, far_idx = jax.lax.top_k(min_d2, k)  # k farthest points
+        empty = counts == 0
+        rank = jnp.clip(jnp.cumsum(empty.astype(jnp.int32)) - 1, 0, k - 1)
+        repl = x[far_idx[rank]]  # r-th empty cluster ← r-th farthest point
+        new_centers = jnp.where(empty[:, None], repl, new_centers)
+        new_centers = jnp.where(frozen, centers, new_centers)
+        shift = jnp.where(
+            frozen, prev_shift, jnp.sum((new_centers - centers) ** 2)
+        )
         return (new_centers, shift), None
 
     (centers, _), _ = jax.lax.scan(step, (centers, jnp.inf), None, length=n_iter)

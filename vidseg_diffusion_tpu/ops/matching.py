@@ -98,10 +98,14 @@ def trajectory_majority_vote(
     score = counts * (t + 1) + (t - first_idx)
     voted = jnp.argmax(score, axis=1)  # [P]
 
-    new_seg = seg_maps
-    # scatter voted labels along each trajectory; masked points write their
-    # original value
-    orig = jnp.take_along_axis(seg_maps, positions, axis=1)
-    vals = jnp.where(keep[None, :], voted[None, :], orig)
-    new_seg = jax.vmap(lambda s, pos, v: s.at[pos].set(v))(new_seg, positions, vals)
+    # scatter voted labels along KEPT trajectories only: dropped columns
+    # get an out-of-bounds index + mode='drop' so they cannot clobber a
+    # kept trajectory's vote on shared cells (scatter duplicate-index
+    # order is unspecified; writing the stale label "back" raced the vote)
+    l = seg_maps.shape[1]
+    pos_eff = jnp.where(keep[None, :], positions, l)
+    vals = jnp.broadcast_to(voted[None, :], positions.shape)
+    new_seg = jax.vmap(
+        lambda s, pos, v: s.at[pos].set(v, mode="drop")
+    )(seg_maps, pos_eff, vals)
     return new_seg

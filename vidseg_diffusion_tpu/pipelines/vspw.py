@@ -179,7 +179,7 @@ def run_vspw_sweep(
                 f.write(json.dumps(rec) + "\n")
 
     evaluator = SegmentationEvaluator(num_classes) if evaluate else None
-    done, failed, skipped = 0, [], 0
+    done, failed, skipped, evaluated = 0, [], 0, 0
     for vname in names:
         if vname in already:
             skipped += 1
@@ -190,29 +190,47 @@ def run_vspw_sweep(
                 pipeline, video_dir, args, num_frames=num_frames,
                 text_tokens=text_tokens,
             )
-            done += 1
-            journal({"video": vname, "status": "done"})
             if evaluator is not None:
+                # evaluate BEFORE journaling done: an eval exception must
+                # journal the video as failed, not both done and failed
                 pred, gt = _load_gt_for_eval(video_dir, res)
                 if pred is not None:
                     evaluator.add_video(pred, gt)
+                    evaluated += 1
+            done += 1
+            journal({"video": vname, "status": "done"})
         except Exception as e:  # per-video fault isolation
             traceback.print_exc()
             failed.append((vname, str(e)))
             journal({"video": vname, "status": "failed", "error": str(e)})
             continue
     out = {"videos_done": done, "videos_failed": failed, "videos_skipped": skipped}
-    if evaluator is not None and evaluator._cm is not None:
+    if evaluator is not None and evaluator.has_videos:
         out.update(evaluator.results())
+        # manifest-resumed 'done' videos are NOT re-evaluated (their seg
+        # maps are not persisted), so on a resumed sweep the metrics cover
+        # only the freshly-run subset — make that scope explicit instead
+        # of silently reporting a partial number as the sweep metric
+        out["videos_evaluated"] = evaluated
+        if skipped:
+            out["metrics_partial"] = True
     return out
 
 
 def _load_gt_for_eval(video_dir: str, res: VSPWVideoResult):
     mask_dir = video_dir.replace("origin", "mask")
     preds, gts = [], []
-    for name, seg in sorted(res.seg.items()):
-        p = os.path.join(mask_dir, name + ".png")
-        if not os.path.exists(p):
+    # res.seg preserves the loader's NUMERIC frame order (io/video.py sorts
+    # stems as ints); a lexicographic sort here shuffled 0,1,10,11,...,2 and
+    # made the mVC windows span non-adjacent frames
+    for name, seg in res.seg.items():
+        p = None
+        for ext in (".png", ".jpg"):  # same extensions load_gt_mask accepts
+            cand = os.path.join(mask_dir, name + ext)
+            if os.path.exists(cand):
+                p = cand
+                break
+        if p is None:
             return None, None
         gt = np.asarray(Image.open(p))
         sh, sw = seg.shape
