@@ -202,6 +202,14 @@ class TestBPE:
         assert list(out[0, :4]) == [t.sot, 320, 513, t.eot]
         assert out[0, 4:].sum() == 0
 
+    def test_literal_special_tokens_stay_atomic(self):
+        # open_clip seeds its BPE cache so a literal <end_of_text> in the
+        # prompt maps to the single EOT id, not a byte-split fragment chain
+        t = self._tok()
+        ids = t.encode("a <end_of_text> a")
+        assert ids == [320, t.eot, 320]
+        assert t.encode("<start_of_text>") == [t.sot]
+
     def test_unmergeable_word_splits_to_chars(self):
         t = self._tok()
         ids = t.encode("dg")  # no 'd g' merge: d + g</w>

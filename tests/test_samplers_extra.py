@@ -123,3 +123,58 @@ class TestNTI:
         err0 = float(jnp.abs(uc_list[0] - uc_true).mean())
         err_init = float(jnp.abs(uc_true).mean())
         assert err0 < err_init
+
+
+def test_lms_t_start_first_step_is_euler():
+    """At t_start>0 the ring buffer holds ONE real derivative on the first
+    step, so the update must be the order-1 (Euler) step — min(i+1, order)
+    paired order-4 coefficients with zero-filled slots."""
+    from vidseg_diffusion_tpu.diffusion.sampling import EulerEDMSampler
+    from vidseg_diffusion_tpu.diffusion.sampling_extra import (
+        LinearMultistepSampler,
+    )
+
+    disc = EDMDiscretization(sigma_max=80.0)
+    lms = LinearMultistepSampler(discretization=disc, num_steps=8, order=4)
+    euler = EulerEDMSampler(discretization=disc, num_steps=8)
+
+    def denoise_fn(x, sigma, i):
+        return x * 0.3, {}
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 2))
+    out_lms, _ = lms(denoise_fn, x, t_start=6, t_end=7, prescale=False)
+    out_euler, _ = euler(denoise_fn, x, t_start=6, t_end=7, prescale=False)
+    np.testing.assert_allclose(
+        np.asarray(out_lms), np.asarray(out_euler), rtol=1e-5
+    )
+
+
+def test_heun_and_dpmpp2s_grads_finite_at_final_step():
+    """The discarded where() branch at next_sigma==0 divided by zero and
+    leaked NaN cotangents into jax.grad (null-text optimization
+    differentiates through step)."""
+    from vidseg_diffusion_tpu.diffusion.sampling import HeunEDMSampler
+    from vidseg_diffusion_tpu.diffusion.sampling_extra import (
+        DPMPP2SAncestralSampler,
+    )
+
+    disc = EDMDiscretization(sigma_max=80.0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 4, 2))
+
+    for sampler in (
+        HeunEDMSampler(discretization=disc, num_steps=4),
+        DPMPP2SAncestralSampler(discretization=disc, num_steps=4),
+    ):
+        sigmas = sampler.sigmas()
+
+        def loss(xi):
+            def dn(z, s, i):
+                return z * 0.3, {}
+
+            out, _ = sampler.step(
+                dn, xi, sigmas[3], sigmas[4], jnp.asarray(3)
+            )
+            return jnp.sum(out**2)
+
+        g = jax.grad(loss)(x)
+        assert np.isfinite(np.asarray(g)).all(), type(sampler).__name__

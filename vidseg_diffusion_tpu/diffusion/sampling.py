@@ -234,8 +234,12 @@ class HeunEDMSampler(EulerEDMSampler):
         euler = x + dt * d
 
         def correction(euler):
-            denoised2, _ = denoise_fn(euler, next_sigma, step_idx)
-            d2 = to_d(euler, next_sigma[None], denoised2)
+            # clamp: this branch is DISCARDED at next_sigma==0, but where()
+            # still evaluates it and passes its NaN cotangents to jax.grad
+            # (null-text optimization differentiates through step)
+            ns = jnp.maximum(next_sigma, 1e-14)
+            denoised2, _ = denoise_fn(euler, ns, step_idx)
+            d2 = to_d(euler, ns[None], denoised2)
             return x + dt * 0.5 * (d + d2)
 
         # Euler only when next σ ≈ 0 (sampling.py:511-517)

@@ -49,7 +49,10 @@ class DPMPP2SAncestralSampler(EulerEDMSampler):
             return x + (sigma_down - sigma) * d
 
         def dpmpp_branch(x):
-            t, t_next = _sigma_to_t(sigma), _sigma_to_t(sigma_down)
+            # clamp like HeunEDMSampler.correction: log(0) in the discarded
+            # branch leaks NaN gradients through jnp.where
+            sd = jnp.maximum(sigma_down, 1e-14)
+            t, t_next = _sigma_to_t(sigma), _sigma_to_t(sd)
             h = t_next - t
             s = t + 0.5 * h
             x2 = (_t_to_sigma(s) / _t_to_sigma(t)) * x - jnp.expm1(-0.5 * h) * denoised
@@ -173,7 +176,10 @@ class LinearMultistepSampler(EulerEDMSampler):
         # coeff table [num_loop_steps, order] (zero-padded below cur_order)
         coeffs = np.zeros((len(steps), max_order), dtype=np.float32)
         for si, i in enumerate(steps):
-            cur = min(i + 1, max_order)
+            # ring-buffer count governs the usable order: at loop step si
+            # only si+1 real derivatives exist (min(i+1, ...) paired
+            # higher-order coefficients with zero-filled slots at t_start>0)
+            cur = min(si + 1, max_order)
             for j in range(cur):
                 coeffs[si, j] = linear_multistep_coeff(cur, sigmas_np, i, j)
         coeffs_j = jnp.asarray(coeffs)
@@ -246,30 +252,42 @@ def null_text_optimization(
     latent_cur = latents_inv[-1]
     uc_list = []
 
+    # ONE compilation for all n outer steps: step data (target, sigma pair,
+    # lr) are traced arguments — the previous per-outer-step @jax.jit with
+    # closed-over constants recompiled the UNet fwd+bwd graph n times.
+    # optax.adam == chain(scale_by_adam, scale(-lr)); keeping lr out of the
+    # transform lets the per-step decayed lr ride as a traced scalar.
+    tx = optax.scale_by_adam()
+
+    @jax.jit
+    def inner(uc, opt_state, latent_cur, target, i, sigma, next_sigma, lr_t):
+        def loss_fn(uc):
+            dn = make_denoise_fn(uc)
+            x_next, _ = sampler.step(dn, latent_cur, sigma, next_sigma, i)
+            return jnp.mean((x_next - target) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(uc)
+        updates, opt_state = tx.update(grads, opt_state, uc)
+        uc = jax.tree.map(lambda u, g: u - lr_t * g, uc, updates)
+        return uc, opt_state, loss
+
+    @jax.jit
+    def advance(uc, latent_cur, i, sigma, next_sigma):
+        dn = make_denoise_fn(uc)
+        return sampler.step(dn, latent_cur, sigma, next_sigma, i)[0]
+
     for i in range(n):
         target = latents_inv[n - i - 1]
-        opt = optax.adam(lr * (1.0 - i / 100.0))
-
-        @jax.jit
-        def inner(uc, opt_state, latent_cur):
-            def loss_fn(uc):
-                dn = make_denoise_fn(uc)
-                x_next, _ = sampler.step(
-                    dn, latent_cur, sigmas[i], sigmas[i + 1], jnp.asarray(i)
-                )
-                return jnp.mean((x_next - target) ** 2)
-
-            loss, grads = jax.value_and_grad(loss_fn)(uc)
-            updates, opt_state = opt.update(grads, opt_state, uc)
-            return optax.apply_updates(uc, updates), opt_state, loss
-
+        lr_t = jnp.asarray(lr * (1.0 - i / 100.0), jnp.float32)
         uc = uc_crossattn
-        opt_state = opt.init(uc)
+        opt_state = tx.init(uc)
         for _ in range(num_inner_steps):
-            uc, opt_state, loss = inner(uc, opt_state, latent_cur)
+            uc, opt_state, loss = inner(
+                uc, opt_state, latent_cur, target, jnp.asarray(i),
+                sigmas[i], sigmas[i + 1], lr_t,
+            )
         uc_list.append(uc)
-        dn = make_denoise_fn(uc)
-        latent_cur, _ = sampler.step(
-            dn, latent_cur, sigmas[i], sigmas[i + 1], jnp.asarray(i)
+        latent_cur = advance(
+            uc, latent_cur, jnp.asarray(i), sigmas[i], sigmas[i + 1]
         )
     return uc_list

@@ -29,11 +29,15 @@ def prefetch_to_device(
     sentinel = object()
 
     def producer():
+        # a producer exception must reach the consumer — swallowing it
+        # cleanly terminated the stream and metrics ran on a silently
+        # truncated dataset
         try:
             for item in iterator:
                 q.put(jax.device_put(item, device))
-        finally:
             q.put(sentinel)
+        except BaseException as e:  # noqa: BLE001 - re-raised in consumer
+            q.put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -41,6 +45,8 @@ def prefetch_to_device(
         item = q.get()
         if item is sentinel:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 
@@ -194,7 +200,12 @@ class ShardedTarDataset:
                     if not member.isfile():
                         continue
                     base = os.path.basename(member.name)
-                    k, _, ext = base.partition(".")
+                    stem, _, ext = base.partition(".")
+                    # webdataset keys are PATH-qualified (dir/stem): two
+                    # videos' `0001.png` in different subdirs must not
+                    # merge into one sample
+                    d = os.path.dirname(member.name)
+                    k = f"{d}/{stem}" if d else stem
                     if key is not None and k != key:
                         yield sample
                         sample = {}

@@ -38,7 +38,10 @@ def load_native(build: bool = True):
     module or None."""
     global _NATIVE, _TRIED
     with _LOCK:
-        if _NATIVE is not None or (_TRIED and not build):
+        # once a build attempt failed, never retry in-process: read/write
+        # call this per FRAME, and each doomed setup.py subprocess can
+        # block minutes on the fallback path
+        if _NATIVE is not None or _TRIED:
             return _NATIVE
         _TRIED = True
         nd = _native_dir()
@@ -76,7 +79,12 @@ def read_png(path: str) -> np.ndarray:
         return np.frombuffer(data, np.uint8).reshape(h, w, c)
     from PIL import Image
 
-    arr = np.asarray(Image.open(path))
+    img = Image.open(path)
+    if img.mode == "P":
+        # match the native codec: png_set_palette_to_rgb expands palettes
+        # (vidseg_native.cpp:84); raw indices would diverge per environment
+        img = img.convert("RGB")
+    arr = np.asarray(img)
     return arr if arr.ndim == 3 else arr[..., None]
 
 

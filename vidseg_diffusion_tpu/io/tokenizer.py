@@ -110,7 +110,13 @@ class ClipBPETokenizer:
         self.bpe_ranks = dict(zip(merges, range(len(merges))))
         self.sot = self.encoder["<start_of_text>"]
         self.eot = self.encoder["<end_of_text>"]
-        self._cache = {}
+        # open_clip seeds the cache with {t: t} so literal special tokens
+        # in input text stay atomic (map to their single vocab id) instead
+        # of being byte-split by _bpe
+        self._cache = {
+            "<start_of_text>": "<start_of_text>",
+            "<end_of_text>": "<end_of_text>",
+        }
         self._pat = regex.compile(
             r"""<start_of_text>|<end_of_text>|'s|'t|'re|'ve|'m|'ll|'d|"""
             r"""[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",

@@ -35,8 +35,6 @@ def load_frames(
     ori_hw = None
     for p in paths:
         img = Image.open(p)
-        if img.mode == "RGBA":
-            img = img.convert("RGB")
         if img.mode != "RGB":
             img = img.convert("RGB")
         w, h = img.size
