@@ -197,3 +197,47 @@ class TestConditioner:
         np.testing.assert_allclose(np.asarray(uc["concat"]), 0.0)
         # vector (fps/motion/aug) identical in c and uc
         np.testing.assert_allclose(np.asarray(uc["vector"]), np.asarray(c["vector"]))
+
+
+class TestFirstStageChunking:
+    def _fs(self):
+        from vidseg_diffusion_tpu.engine.diffusion_engine import FirstStage
+        from vidseg_diffusion_tpu.models import vae as fvae
+
+        enc = fvae.Encoder(fvae.VAEConfig(ch=8, out_ch=3, in_channels=3,
+                                          z_channels=2, ch_mult=(1,),
+                                          num_res_blocks=1))
+        dec = fvae.Decoder(fvae.VAEConfig(ch=8, out_ch=3, in_channels=3,
+                                          z_channels=2, ch_mult=(1,),
+                                          num_res_blocks=1))
+        x = jnp.ones((1, 8, 8, 3))
+        ep = enc.init(jax.random.PRNGKey(0), x)["params"]
+        dp = dec.init(jax.random.PRNGKey(1), jnp.ones((1, 8, 8, 2)))["params"]
+        return FirstStage(enc, dec, ep, dp, scale_factor=0.5)
+
+    def test_ragged_chunk_matches_unchunked(self):
+        """5 frames with chunk=2: the ragged tail runs at natural length
+        like the reference's ceil loop (an assert used to crash any frame
+        count not divisible by decoding_t)."""
+        fs = self._fs()
+        x = jax.random.normal(jax.random.PRNGKey(2), (5, 8, 8, 3))
+        z_full = fs.encode(x)                 # mode path: deterministic
+        z_chunk = fs.encode(x, chunk=2)
+        np.testing.assert_allclose(
+            np.asarray(z_chunk), np.asarray(z_full), atol=1e-5
+        )
+        dec_full = fs.decode(z_full)
+        dec_chunk = fs.decode(z_full, chunk=2)
+        np.testing.assert_allclose(
+            np.asarray(dec_chunk), np.asarray(dec_full), atol=1e-5
+        )
+
+    def test_chunked_encode_noise_differs_per_chunk(self):
+        """With a sampling rng, each chunk must fold its own key — a key
+        closed over the chunk map drew IDENTICAL noise per chunk."""
+        fs = self._fs()
+        x = jnp.zeros((4, 8, 8, 3))  # identical frames -> identical moments
+        z = fs.encode(x, rng=jax.random.PRNGKey(3), chunk=2)
+        z = np.asarray(z)
+        # all frames share moments; noise must differ ACROSS chunks
+        assert not np.allclose(z[0], z[2])

@@ -287,3 +287,51 @@ class TestModulationArithmetic:
             for f in range(t):
                 np.testing.assert_allclose(got[L + j, f], 2.0 * float(masks[f, j]))
         np.testing.assert_allclose(got[:L], got[L:])
+
+
+def test_video_transformer_depth_two():
+    """depth >= 2 constructs the shared time_mixer once (per-depth
+    construction with a fixed name raised flax NameInUseError)."""
+    from vidseg_diffusion_tpu.models.video_layers import (
+        SpatialVideoTransformer,
+    )
+
+    m = SpatialVideoTransformer(heads=2, dim_head=8, depth=2)
+    t = 2
+    x = jnp.ones((2 * t, 4, 4, 16))
+    ctx = jnp.ones((2 * t, 1, 16))
+    variables = m.init(
+        jax.random.PRNGKey(0), x, context=ctx, timesteps=t,
+        image_only_indicator=jnp.zeros((2, t)),
+    )
+    y = m.apply(
+        variables, x, context=ctx, timesteps=t,
+        image_only_indicator=jnp.zeros((2, t)),
+    )
+    assert y.shape == x.shape and np.isfinite(np.asarray(y)).all()
+    # depth-2 UNet config end-to-end
+    cfg = UNetConfig(
+        in_channels=4, out_channels=4, model_channels=16, num_res_blocks=1,
+        attention_resolutions=(1,), channel_mult=(1,), num_head_channels=8,
+        context_dim=12, adm_in_channels=6, video=True, transformer_depth=2,
+    )
+    unet = UNetModel(cfg)
+    b = 2 * t
+    args = (jnp.ones((b, 8, 8, 4)), jnp.full((b,), 0.3),
+            jnp.ones((b, 2, 12)), jnp.ones((b, 6)))
+    params = unet.init(jax.random.PRNGKey(1), *args, num_video_frames=t,
+                       image_only_indicator=jnp.zeros((2, t)))["params"]
+    out = unet.apply({"params": params}, *args, num_video_frames=t,
+                     image_only_indicator=jnp.zeros((2, t)))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_zero_init_proj_out_option():
+    from vidseg_diffusion_tpu.models.layers import SpatialTransformer
+
+    m = SpatialTransformer(heads=2, dim_head=8, zero_init_proj_out=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 16))
+    variables = m.init(jax.random.PRNGKey(1), x)
+    y = m.apply(variables, x)
+    # reference zero_module(proj_out): block is the identity at init
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)

@@ -58,14 +58,17 @@ class FirstStage:
         """[-1,1] frames [B, H, W, 3] → scaled latents [B, H/8, W/8, z].
         rng None → posterior mode (AutoencoderKLModeOnly semantics)."""
 
-        def enc(xc):
+        def enc(xc, idx):
             moments = _jit_apply(self.encoder, self.params_encoder, xc)
             if self.quant_conv is not None:
                 k, b = self.quant_conv
                 moments = jnp.einsum("bhwc,cd->bhwd", moments, k[0, 0]) + b
-            return vae_mod.gaussian_sample(moments, rng)
+            # per-chunk key: a single key closed over the chunk map would
+            # draw IDENTICAL noise for every chunk
+            r = jax.random.fold_in(rng, idx) if rng is not None else None
+            return vae_mod.gaussian_sample(moments, r)
 
-        z = _chunked(enc, x, chunk)
+        z = _chunked(enc, x, chunk, with_index=True)
         return self.scale_factor * z
 
     def decode(
@@ -130,14 +133,30 @@ class FirstStage:
         return self._sharded_jit_cache[key]
 
 
-def _chunked(fn, x: jnp.ndarray, chunk: Optional[int]) -> jnp.ndarray:
-    if chunk is None or chunk >= x.shape[0]:
-        return fn(x)
+def _chunked(
+    fn, x: jnp.ndarray, chunk: Optional[int], with_index: bool = False
+) -> jnp.ndarray:
+    """Apply fn over batch chunks. A ragged final chunk runs at its
+    natural length like the reference's en_and_decode_n_samples_a_time
+    ceil loop (diffusion.py:117-151) — an assert here crashed user frame
+    counts not divisible by decoding_t. with_index passes the chunk index
+    as a second arg (per-chunk rng folding)."""
     b = x.shape[0]
-    assert b % chunk == 0, (b, chunk)
-    xs = x.reshape((b // chunk, chunk) + x.shape[1:])
-    out = jax.lax.map(fn, xs)
-    return out.reshape((b,) + out.shape[2:])
+    call = fn if with_index else (lambda xc, i: fn(xc))
+    if chunk is None or chunk >= b:
+        return call(x, jnp.asarray(0))
+    nb = b // chunk
+    main = x[: nb * chunk].reshape((nb, chunk) + x.shape[1:])
+    out = jax.lax.map(lambda arg: call(arg[0], arg[1]), (main, jnp.arange(nb)))
+    out = out.reshape((nb * chunk,) + out.shape[2:])
+    rem = b - nb * chunk
+    if rem:
+        # ragged tail at its NATURAL length, exactly like the reference's
+        # ceil loop — padding it would feed the video decoder's temporal
+        # convs repeated frames inside the chunk (one extra compile)
+        tail = call(x[nb * chunk:], jnp.asarray(nb))
+        out = jnp.concatenate([out, tail], 0)
+    return out
 
 
 @dataclasses.dataclass(frozen=True)

@@ -456,6 +456,11 @@ class SpatialTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     disable_self_attn: bool = False
     sow_qk: bool = True
+    # the reference zero_module()s proj_out (identity block at init) for
+    # from-scratch training; default False here because random-init smoke
+    # pipelines and tests rely on non-identity blocks, and checkpoint
+    # loading overwrites the init either way
+    zero_init_proj_out: bool = False
 
     @nn.compact
     def __call__(
@@ -486,7 +491,11 @@ class SpatialTransformer(nn.Module):
             )(x, context=context, modulation=modulation, injection=injection)
 
         if self.use_linear:
-            x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
+            x = nn.Dense(
+                c, dtype=self.dtype, name="proj_out",
+                kernel_init=(nn.initializers.zeros if self.zero_init_proj_out
+                             else nn.initializers.lecun_normal()),
+            )(x)
         x = x.reshape(b, h, w, x.shape[-1])
         if not self.use_linear:
             x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(x)

@@ -21,22 +21,12 @@ from vidseg_diffusion_tpu.ops.attention import dot_product_attention
 
 
 def _norm(name: str):
-    """VAE GroupNorm(32, eps=1e-6) with fp32 statistics (model.py:52-55).
-    Lane-layout-preserving formulation — see models/layers.GroupNorm32."""
+    """VAE GroupNorm(32, eps=1e-6) with fp32 statistics (model.py:52-55) —
+    the shared GroupNorm32 (same 'gn' param container, gcd fallback, and
+    lane-layout-preserving lowering)."""
+    from vidseg_diffusion_tpu.models.layers import GroupNorm32
 
-    class _GN(nn.Module):
-        @nn.compact
-        def __call__(self, x):
-            import math
-
-            from vidseg_diffusion_tpu.models.layers import _GNScaleBias
-            from vidseg_diffusion_tpu.ops.norm import group_norm_xla
-
-            g = 32 if x.shape[-1] % 32 == 0 else math.gcd(32, x.shape[-1])
-            scale, bias = _GNScaleBias(x.shape[-1], name="gn")()
-            return group_norm_xla(x, scale, bias, groups=g, eps=1e-6)
-
-    return _GN(name=name)
+    return GroupNorm32(epsilon=1e-6, name=name)
 
 
 class VAEResnetBlock(nn.Module):

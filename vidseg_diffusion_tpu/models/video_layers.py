@@ -19,14 +19,12 @@ import jax.numpy as jnp
 
 from vidseg_diffusion_tpu.models.layers import (
     AlphaBlender,
-    AttnInjection,
     BasicTransformerBlock,
     BlockInjection,
     BlockModulation,
     CrossAttention,
     FeedForward,
     GroupNorm32,
-    Modulation,
     timestep_embedding,
 )
 
@@ -137,6 +135,7 @@ class SpatialVideoTransformer(nn.Module):
     max_time_embed_period: int = 10000
     dtype: jnp.dtype = jnp.float32
     sow_qk: bool = True
+    zero_init_proj_out: bool = False  # see SpatialTransformer
 
     @nn.compact
     def __call__(
@@ -163,10 +162,9 @@ class SpatialVideoTransformer(nn.Module):
 
         x = GroupNorm32(epsilon=1e-6, name="norm")(x)
         x = x.reshape(bt, h * w, c)
-        if self.use_linear:
-            x = nn.Dense(inner, dtype=self.dtype, name="proj_in")(x)
-        else:
-            x = nn.Dense(inner, dtype=self.dtype, name="proj_in")(x)  # 1x1 conv ≡ dense on tokens
+        # always a Dense: 1x1-conv checkpoints (use_linear=False) convert
+        # through io/checkpoint._adapt's conv->dense squeeze
+        x = nn.Dense(inner, dtype=self.dtype, name="proj_in")(x)
 
         # sinusoidal frame-position embedding (video_attention.py:417-427)
         frame_ids = jnp.tile(jnp.arange(t), bt // t)
@@ -174,6 +172,15 @@ class SpatialVideoTransformer(nn.Module):
         emb = nn.Dense(c * 4, dtype=self.dtype, name="time_pos_embed_0")(t_emb)
         emb = nn.Dense(c, dtype=self.dtype, name="time_pos_embed_2")(nn.silu(emb))
         emb = emb[:, None, :].astype(x.dtype)
+
+        mixer = AlphaBlender(
+            alpha=self.merge_factor,
+            merge_strategy=self.merge_strategy,
+            broadcast="bt11",
+            name="time_mixer",
+        )  # constructed ONCE: per-depth construction with a fixed name
+        #    raises flax NameInUseError at depth >= 2; the reference shares
+        #    one time_mixer across depths
 
         for d in range(self.depth):
             x = BasicTransformerBlock(
@@ -204,13 +211,15 @@ class SpatialVideoTransformer(nn.Module):
                 modulation=modulation.temporal if modulation is not None else None,
                 injection=injection.temporal if injection is not None else None,
             )
-            x = AlphaBlender(
-                alpha=self.merge_factor,
-                merge_strategy=self.merge_strategy,
-                broadcast="bt11",
-                name="time_mixer",
-            )(x_spatial=x, x_temporal=x_mix, image_only_indicator=image_only_indicator)
+            x = mixer(
+                x_spatial=x, x_temporal=x_mix,
+                image_only_indicator=image_only_indicator,
+            )
 
-        x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
+        x = nn.Dense(
+            c, dtype=self.dtype, name="proj_out",
+            kernel_init=(nn.initializers.zeros if self.zero_init_proj_out
+                         else nn.initializers.lecun_normal()),
+        )(x)
         x = x.reshape(bt, h, w, c)
         return x + x_in

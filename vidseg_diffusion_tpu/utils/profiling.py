@@ -39,11 +39,17 @@ class StepTimer:
         self.records: Dict[str, List[float]] = {}
 
     @contextlib.contextmanager
-    def time(self, name: str, result=None):
+    def time(self, name: str):
+        """`with timer.time('stage') as done: out = step(); done(out)` —
+        register the stage's output so the timer can block on device
+        completion; without it only dispatch latency is recorded (the old
+        `result=` parameter could never receive a value produced inside
+        the block, so it silently measured dispatch only)."""
+        holder = []
         t0 = time.perf_counter()
-        yield
-        if result is not None:
-            jax.block_until_ready(result)
+        yield holder.append
+        if holder:
+            jax.block_until_ready(holder[0])
         self.records.setdefault(name, []).append(time.perf_counter() - t0)
 
     def measure(self, name: str, fn, *args, **kwargs):

@@ -109,6 +109,10 @@ class SafetyFilter:
             out = jnp.moveaxis(gaussian_blur(chw, ksize=99, sigma=100.0), 1, -1)
             return out.astype(fr.dtype)
 
+        # the reference applies the two heads' blurs SEQUENTIALLY (a frame
+        # flagged by both is blurred twice), so the blur cannot be hoisted
+        # or shared across the two passes; blurring the full batch and
+        # selecting is the static-shape TPU form of "blur the flagged set"
         for flagged in (s[0] > self.p_threshold, s[1] > self.w_threshold):
             if flagged.any():
                 mask = jnp.asarray(flagged)[:, None, None, None]
