@@ -66,12 +66,16 @@ bool decode_png_impl(const unsigned char* buf, size_t len, std::string* out,
     *err = "png_create_info_struct failed";
     return false;
   }
+  // locals with destructors are constructed BEFORE setjmp: a longjmp over
+  // an in-scope construction is UB and leaks the vector's heap buffer on
+  // every corrupt image
+  MemReader reader{buf, len, 0};
+  std::vector<png_bytep> rows;
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     *err = "libpng decode error";
     return false;
   }
-  MemReader reader{buf, len, 0};
   png_set_read_fn(png, &reader, png_mem_read);
   png_read_info(png, info);
 
@@ -91,7 +95,7 @@ bool decode_png_impl(const unsigned char* buf, size_t len, std::string* out,
   const unsigned ch = png_get_channels(png, info);
   const size_t stride = png_get_rowbytes(png, info);
   out->resize(stride * h);
-  std::vector<png_bytep> rows(h);
+  rows.resize(h);
   for (png_uint_32 y = 0; y < h; ++y) {
     rows[y] = reinterpret_cast<png_bytep>(&(*out)[y * stride]);
   }
@@ -126,6 +130,7 @@ bool encode_png_impl(const unsigned char* pixels, unsigned width,
     *err = "png_create_info_struct failed";
     return false;
   }
+  std::vector<png_bytep> rows;  // constructed before setjmp (see decode)
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_write_struct(&png, &info);
     *err = "libpng encode error";
@@ -137,7 +142,7 @@ bool encode_png_impl(const unsigned char* pixels, unsigned width,
                PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
   png_write_info(png, info);
   const size_t stride = static_cast<size_t>(width) * channels;
-  std::vector<png_bytep> rows(height);
+  rows.resize(height);
   for (unsigned y = 0; y < height; ++y) {
     rows[y] = const_cast<png_bytep>(pixels + y * stride);
   }
@@ -202,10 +207,16 @@ PyObject* py_read_png_file(PyObject*, PyObject* args) {
   Py_BEGIN_ALLOW_THREADS
   FILE* f = std::fopen(path, "rb");
   if (f) {
-    std::fseek(f, 0, SEEK_END);
-    long n = std::ftell(f);
-    std::fseek(f, 0, SEEK_SET);
-    data.resize(n);
+    long n = -1;
+    if (std::fseek(f, 0, SEEK_END) == 0) n = std::ftell(f);
+    // ftell can return -1 (FIFOs/unseekable); resize((size_t)-1) would
+    // throw inside ALLOW_THREADS with no catch -> std::terminate. Bound
+    // the size (1 GiB) so oversized files raise IOError, not bad_alloc.
+    if (n < 0 || n > (1L << 30) || std::fseek(f, 0, SEEK_SET) != 0) {
+      err = "not a regular readable file";
+      std::fclose(f);
+    } else {
+    data.resize(static_cast<size_t>(n));
     ok = std::fread(&data[0], 1, n, f) == static_cast<size_t>(n);
     std::fclose(f);
     if (ok) {
@@ -214,6 +225,7 @@ PyObject* py_read_png_file(PyObject*, PyObject* args) {
           &out, &w, &h, &ch, &err);
     } else {
       err = "short read";
+    }
     }
   } else {
     err = "cannot open file";

@@ -85,9 +85,13 @@ def main():
         else jnp.float32
     )
     ckpt = args.ckpt_path
+    if ckpt and not os.path.exists(ckpt):
+        # an explicitly requested checkpoint must not silently fall back —
+        # a typo'd path would run a multi-hour sweep on the wrong weights
+        raise FileNotFoundError(f"--ckpt_path {ckpt!r} does not exist")
     pipeline = build_pipeline(
         args.model_config,
-        ckpt_path=ckpt if (ckpt and os.path.exists(ckpt)) else _maybe_yaml_ckpt(args),
+        ckpt_path=ckpt if ckpt else _maybe_yaml_ckpt(args),
         num_steps=args.num_steps,
         num_frames=num_frames,
         dtype=dtype,

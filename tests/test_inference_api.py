@@ -105,7 +105,10 @@ def test_refiner_latents_roundtrip(refiner_api):
 
 def test_refiner_cond_layout(refiner_api):
     """vector = [bigG pooled | orig | crop | aesthetic]; uc uses the
-    negative aesthetic score but keeps sizes; uc text zeroed."""
+    negative aesthetic score but keeps sizes; uc text is the EMPTY-prompt
+    embedding, NOT force-zeroed — the refiner spec is legacy and the
+    reference calls do_img2img with force_uc_zero_embeddings=[]
+    (api.py:245-277); zeroing also wiped the pooled vector segment."""
     from vidseg_diffusion_tpu.io.tokenizer import tokenize
 
     tokens = tokenize(["cat"], bpe_path=TINY_BPE)
@@ -115,7 +118,9 @@ def test_refiner_cond_layout(refiner_api):
     c, uc = refiner_api._make_cond(params, tokens, None, 2)
     assert c["crossattn"].shape == (2, 77, 48)
     assert c["vector"].shape == (2, 48 + 2 * 16 + 2 * 16 + 16)
-    assert float(np.abs(np.asarray(uc["crossattn"])).max()) == 0.0
+    ucx = np.asarray(uc["crossattn"])
+    assert float(np.abs(ucx).max()) > 0.0  # real empty-prompt embedding
+    assert not np.allclose(ucx, np.asarray(c["crossattn"]))
     # aesthetic segment differs between c and uc; size segments match
     cv, uv = np.asarray(c["vector"]), np.asarray(uc["vector"])
     assert not np.allclose(cv[:, -16:], uv[:, -16:])

@@ -137,13 +137,7 @@ class SamplingPipeline:
                     cond_d.get("crossattn"), cond_d.get("vector"),
                 )
 
-            from vidseg_diffusion_tpu.utils import append_dims
-
-            den = p.spec.denoiser
-            sq = den.possibly_quantize_sigma(s_in)
-            cs, co, ci, cn = den.scaling(append_dims(sq, x_in.ndim))
-            cn = den.possibly_quantize_c_noise(cn.reshape(s_in.shape))
-            out = network(x_in * ci, cn, cond) * co + x_in * cs
+            out = p.spec.denoiser(network, x_in, s_in, cond)
             return guider(out, sigma), None
 
         return denoise_fn
@@ -156,7 +150,20 @@ class SamplingPipeline:
         force_uc_zero_embeddings=['txt'] for non-legacy specs)."""
         p = self.pipeline
         cond = p.conditioner
-        if cond is not None and getattr(cond, "kind", "") == "sdxl_refiner":
+        if negative_prompt_tokens is None:
+            # reference uc = embedding of the EMPTY prompt, not a zero
+            # embedding: frame [sot, eot, pad...] with the prompt's own
+            # sot/eot ids (eot = max id per the CLIP pooling convention)
+            pt = jnp.asarray(prompt_tokens)
+            negative_prompt_tokens = (
+                jnp.zeros_like(pt)
+                .at[:, 0].set(pt[:, 0])
+                .at[:, 1].set(jnp.max(pt, axis=1))
+            )
+        kind = getattr(cond, "kind", "") if cond is not None else ""
+        if kind in ("sdxl", "sdxl_refiner"):
+            refiner = kind == "sdxl_refiner"
+
             def pair(a, b):
                 return jnp.array([[float(a), float(b)]])
 
@@ -164,43 +171,32 @@ class SamplingPipeline:
                 "txt_tokens": jnp.asarray(prompt_tokens),
                 "original_size_as_tuple": pair(params.orig_height, params.orig_width),
                 "crop_coords_top_left": pair(params.crop_coords_top, params.crop_coords_left),
-                "aesthetic_score": jnp.array([[params.aesthetic_score]]),
             }
-            batch_uc = dict(
-                batch_c,
-                aesthetic_score=jnp.array([[params.negative_aesthetic_score]]),
-            )
-            if negative_prompt_tokens is not None:
-                batch_uc["txt_tokens"] = jnp.asarray(negative_prompt_tokens)
+            if refiner:
+                batch_c["aesthetic_score"] = jnp.array([[params.aesthetic_score]])
+                batch_uc = dict(
+                    batch_c,
+                    aesthetic_score=jnp.array(
+                        [[params.negative_aesthetic_score]]
+                    ),
+                )
+            else:
+                batch_c["target_size_as_tuple"] = pair(params.height, params.width)
+                batch_uc = dict(batch_c)
+            batch_uc["txt_tokens"] = jnp.asarray(negative_prompt_tokens)
+            # the refiner spec is legacy (is_legacy=True): its uc text is
+            # the negative/empty prompt, NOT force-zeroed (reference
+            # api.py:245-277 calls do_img2img with
+            # force_uc_zero_embeddings=[]); zeroing silently discarded the
+            # negative prompt AND the pooled vector segment
             c, uc = cond.get_unconditional_conditioning(
-                batch_c, batch_uc, force_uc_zero_embeddings=["txt_tokens"]
-            )
-            rep = lambda d: {k: jnp.repeat(v, batch_size, 0) for k, v in d.items()}
-            return rep(c), rep(uc)
-        if cond is not None and getattr(cond, "kind", "") == "sdxl":
-            def pair(a, b):
-                return jnp.array([[float(a), float(b)]])
-
-            batch_c = {
-                "txt_tokens": jnp.asarray(prompt_tokens),
-                "original_size_as_tuple": pair(params.orig_height, params.orig_width),
-                "crop_coords_top_left": pair(params.crop_coords_top, params.crop_coords_left),
-                "target_size_as_tuple": pair(params.height, params.width),
-            }
-            batch_uc = dict(batch_c)
-            if negative_prompt_tokens is not None:
-                batch_uc["txt_tokens"] = jnp.asarray(negative_prompt_tokens)
-            c, uc = cond.get_unconditional_conditioning(
-                batch_c, batch_uc, force_uc_zero_embeddings=["txt_tokens"]
+                batch_c, batch_uc,
+                force_uc_zero_embeddings=[] if refiner else ["txt_tokens"],
             )
             rep = lambda d: {k: jnp.repeat(v, batch_size, 0) for k, v in d.items()}
             return rep(c), rep(uc)
         ctx = p.clip_apply(jnp.asarray(prompt_tokens))
-        neg = (
-            p.clip_apply(jnp.asarray(negative_prompt_tokens))
-            if negative_prompt_tokens is not None
-            else jnp.zeros_like(ctx)
-        )
+        neg = p.clip_apply(jnp.asarray(negative_prompt_tokens))
         return (
             {"crossattn": jnp.repeat(ctx, batch_size, 0)},
             {"crossattn": jnp.repeat(neg, batch_size, 0)},
@@ -253,12 +249,22 @@ class SamplingPipeline:
         c, uc = self._make_cond(
             params, prompt_tokens, negative_prompt_tokens, z.shape[0]
         )
-        t_start = int(params.steps * (1.0 - params.img2img_strength))
-        r_noise, r_loop = jax.random.split(rng)
-        noised = sampler.add_noise(r_noise, z, noise_level=t_start)
-        zf, _ = sampler(
-            self._denoise_fn(c, uc, guider), noised, t_start=t_start, rng=r_loop
-        )
+        # reference Img2ImgDiscretizationWrapper: keep
+        # max(int((steps+1)*strength), 1) sigmas of the steps+1 schedule
+        n_sig = params.steps + 1
+        keep = max(int(n_sig * params.img2img_strength), 1)
+        t_start = n_sig - keep
+        if t_start >= params.steps:
+            # strength ~ 0: zero denoise steps; the reference returns the
+            # (unchanged) input rather than asserting
+            zf = z
+        else:
+            r_noise, r_loop = jax.random.split(rng)
+            noised = sampler.add_noise(r_noise, z, noise_level=t_start)
+            zf, _ = sampler(
+                self._denoise_fn(c, uc, guider), noised,
+                t_start=t_start, rng=r_loop,
+            )
         frames = p.first_stage.decode(zf)
         return jnp.clip((frames + 1.0) / 2.0, 0.0, 1.0)
 
