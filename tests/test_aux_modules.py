@@ -128,3 +128,58 @@ class TestInferenceAPI:
 
         p = SamplingParams(sampler=Sampler.DPMPP2M, steps=10)
         assert p.sampler == Sampler.DPMPP2M
+
+
+def test_discrete_sigma_sampling():
+    """DiscreteSigmaSampling: uniform index into the sigma table
+    (sigma_sampling.py:15-31)."""
+    from vidseg_diffusion_tpu.diffusion.loss import DiscreteSigmaSampling
+
+    sigmas = jnp.asarray([0.1, 1.0, 10.0, 100.0])
+    s = DiscreteSigmaSampling(sigmas=sigmas)
+    out = np.asarray(s(jax.random.PRNGKey(0), 256))
+    assert out.shape == (256,)
+    assert set(np.unique(out)).issubset(set(np.asarray(sigmas)))
+    # every table entry should appear in 256 uniform draws over 4 values
+    assert len(np.unique(out)) == 4
+
+
+def test_aggregate_blocks():
+    from vidseg_diffusion_tpu.engine.masks import aggregate_blocks
+
+    a = jnp.ones((2, 4, 8))
+    b = 3.0 * jnp.ones((2, 4, 8))
+    np.testing.assert_allclose(np.asarray(aggregate_blocks([a, b])), 2.0)
+
+
+def test_camvid_color_map():
+    from vidseg_diffusion_tpu.engine.segmentation import camvid_color_map
+
+    table = camvid_color_map()
+    assert table.shape[1] == 3 and table.dtype == np.uint8
+    assert table.shape[0] >= 31  # the vendored reference table
+    np.testing.assert_array_equal(table[0], [64, 128, 64])
+
+
+def test_video_folder_dataset(tmp_path):
+    from PIL import Image
+
+    from vidseg_diffusion_tpu.io.data import VideoFolderDataset
+
+    for vid in ("vidB", "vidA"):
+        d = tmp_path / vid / "origin"
+        d.mkdir(parents=True)
+        for i in range(3):
+            # large enough for load_frames' 64-multiple resize rule
+            Image.fromarray(
+                np.full((64, 64, 3), i * 10, np.uint8)
+            ).save(d / f"{i}.png")
+    ds = VideoFolderDataset(str(tmp_path))
+    assert len(ds) == 2
+    items = list(ds)
+    # sorted video order; frames in [-1, 1]; numeric frame order
+    assert [it[2] for it in items] == ["vidA", "vidB"]
+    frames, names, _, ori_hw = items[0]
+    assert frames.shape == (3, 64, 64, 3)
+    assert float(frames.min()) >= -1.0 and float(frames.max()) <= 1.0
+    assert list(names) == ["0", "1", "2"]

@@ -123,8 +123,9 @@ def soft_color_map(n: int = 128, seed: int = 0) -> np.ndarray:
 
 
 def camvid_color_map() -> np.ndarray:
-    """The CamVid 31-class palette (scripts/util/color_map_camvid.txt,
-    vendored as package data) for CamVid-labelled outputs — [31, 3] uint8."""
+    """The CamVid palette (scripts/util/color_map_camvid.txt, vendored
+    byte-identically as package data) for CamVid-labelled outputs —
+    [32, 3] uint8 (the table has 32 entries)."""
     table_path = os.path.join(
         os.path.dirname(os.path.dirname(__file__)), "assets", "color_map_camvid.txt"
     )
