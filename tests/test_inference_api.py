@@ -125,3 +125,24 @@ def test_refiner_cond_layout(refiner_api):
     cv, uv = np.asarray(c["vector"]), np.asarray(uc["vector"])
     assert not np.allclose(cv[:, -16:], uv[:, -16:])
     np.testing.assert_allclose(cv[:, 48:-16], uv[:, 48:-16])
+
+
+def test_img2img_strength_window_matches_reference_wrapper():
+    """Our t_start mapping must select exactly the sigma window the
+    reference's Img2ImgDiscretizationWrapper keeps (helpers.py:77-98:
+    flip, keep first max(int(strength*len),1), flip back)."""
+    for steps in (10, 25, 50):
+        n_sig = steps + 1
+        sigmas = np.linspace(14.6, 0.0, n_sig)  # descending like EDM
+        for strength in (0.0, 0.05, 0.3, 0.5, 0.75, 0.999, 1.0):
+            # literal reference oracle
+            asc = sigmas[::-1]
+            kept = asc[: max(int(strength * len(asc)), 1)][::-1]
+            # our mapping (inference/api._denoise_from_latent)
+            keep = max(int(n_sig * strength), 1)
+            t_start = n_sig - keep
+            ours = sigmas[t_start:]
+            np.testing.assert_allclose(ours, kept, err_msg=f"{steps}/{strength}")
+            # t_start >= steps means zero denoise steps (reference keeps
+            # only the final sigma) — the API returns the input then
+            assert (t_start >= steps) == (len(kept) <= 1)
