@@ -33,6 +33,28 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 _LOG2_E = math.log2(math.e)
 
+# Trace-time kernel-dispatch log. When set to a list (tests/tpu smoke test),
+# every Pallas-kernel dispatch appends {"kind", shape/params} as it is traced,
+# so the exact kernel set of a program (e.g. the bench step) can be
+# enumerated and compile-checked standalone before the driver runs it.
+DISPATCH_LOG: Optional[list] = None
+
+
+def _log_dispatch(kind: str, **info) -> None:
+    if DISPATCH_LOG is not None:
+        DISPATCH_LOG.append(dict(kind=kind, **info))
+
+
+# Per-kernel scoped-VMEM limit (pltpu.CompilerParams.vmem_limit_bytes).
+# BENCH_r03 lesson: XLA's *default* scoped-vmem limit for a custom call is
+# context-dependent — the small-batched kernel at bf16[26,392,1280] compiled
+# standalone but hit "Scoped allocation 16.50M > 16.00M limit" inside the
+# full bench program (scripts/tests/sba_vmem_probe.py reproduces the
+# standalone PASS). Raising the per-kernel limit removes the context
+# dependence; the block/fold choosers below still budget well under this so
+# plenty of VMEM remains for XLA's own buffers (v5e has 128 MB VMEM total).
+_KERNEL_VMEM_LIMIT = 64 * 1024 * 1024
+
 
 def mha_reference(
     q: jax.Array, k: jax.Array, v: jax.Array, scale: Optional[float] = None,
@@ -281,6 +303,7 @@ def _flash_attention_impl(
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_KERNEL_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(qf, kf, vf)
@@ -448,6 +471,7 @@ def _flash_attention_packed_impl(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_KERNEL_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(qf, kf, vf)
@@ -468,16 +492,21 @@ def _small_seq_kernel(q_ref, k_ref, v_ref, o_ref, *, lq, lk, heads, d, fold):
     k = k_ref[0]  # [fold·lk, H·D]
     v = v_ref[0]
     rows, cols = fold * lq, fold * lk
-    qg = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) // lq
-    kg = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1) // lk
-    same = qg == kg
+    # ONE additive [rows, cols] f32 penalty buffer shared across the heads
+    # loop, built from skinny (rows,1)/(1,cols) iotas. The previous version
+    # kept two full-size i32 iota masks live for the whole kernel plus a
+    # per-head select — part of the scoped-vmem blowout that crashed
+    # BENCH_r03 (16.5 MB observed vs the 8.6 MB the old model predicted).
+    qg = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) // lq
+    kg = jax.lax.broadcasted_iota(jnp.int32, (1, cols), 1) // lk
+    pen = jnp.where(qg == kg, 0.0, DEFAULT_MASK_VALUE)  # [rows, cols] f32
     for hh in range(heads):
         sl = slice(hh * d, (hh + 1) * d)
         s = jax.lax.dot_general(
             q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [rows, cols] f32, cross-problem entries garbage
-        s = jnp.where(same, s, DEFAULT_MASK_VALUE)
+        s = s + pen  # bounded logits + (-0.7·f32max) → cross-problem -huge
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp2(s - m)  # masked entries underflow to exactly 0
         psum = jnp.sum(p, axis=-1, keepdims=True)
@@ -488,19 +517,38 @@ def _small_seq_kernel(q_ref, k_ref, v_ref, o_ref, *, lq, lk, heads, d, fold):
         o_ref[0, :, sl] = (pv / psum).astype(o_ref.dtype)
 
 
+def _sba_vmem_bytes(fold: int, lq: int, lk: int, hd: int,
+                    itemsize: int = 2) -> int:
+    """Modeled scoped-VMEM demand of one `_small_seq_kernel` program.
+
+    Full inventory (the BENCH_r03 crash was this model omitting most of it):
+    - q/out row blocks + k/v col blocks, double-buffered, lane-padded
+    - the shared [rows, cols] f32 penalty buffer (live across the heads loop)
+    - per-head f32 logits `s`, f32 `p = exp2`, and p's v-dtype cast, counted
+      twice for Mosaic's software pipelining of the unrolled heads loop
+    Calibrated against the observed in-context allocation at the r3 crash
+    site (bf16[26,392,1280]: 16.5 MB actual for the pre-r4 kernel whose
+    inventory also held two full-size i32 iota masks + a select)."""
+    rows, cols = fold * lq, fold * lk
+    lanes = _round_up(hd, 128)
+    io = 2 * (2 * rows + 2 * cols) * lanes * itemsize
+    cell = rows * cols * 4
+    pen = cell
+    per_head = cell + cell + cell // 2   # s, p, p.astype(v.dtype)
+    return io + pen + 2 * per_head
+
+
 def _best_fold(b: int, lq: int, lk: int, hd: int, itemsize: int = 2,
                rows_cap: int = 512) -> int:
-    """Largest divisor of B whose folded tile fits the rows cap AND the VMEM
-    budget (q/k/v/out blocks double-buffered + one head's f32 logits).
-    `itemsize` is the q/k/v element size — hardcoding 2 under-counted f32
-    tiles by half."""
+    """Largest divisor of B whose folded tile fits the rows cap AND the
+    scoped-VMEM budget per `_sba_vmem_bytes` (full allocation inventory,
+    ≥25% margin under the kernel's explicit vmem_limit_bytes)."""
     cap = max(1, rows_cap // max(lq, lk))
-    budget = 12 * 1024 * 1024
+    budget = (_KERNEL_VMEM_LIMIT * 3) // 4
     for f in range(cap, 0, -1):
         if b % f:
             continue
-        rows, cols = f * lq, f * lk
-        if (2 * rows + 2 * cols) * _round_up(hd, 128) * 2 * itemsize                 + rows * cols * 4 <= budget:
+        if _sba_vmem_bytes(f, lq, lk, hd, itemsize) <= budget:
             return f
     return 1
 
@@ -551,6 +599,7 @@ def _small_batched_attention_impl(
         out_shape=jax.ShapeDtypeStruct((b // fold, fold * lq, hd), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
+            vmem_limit_bytes=_KERNEL_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(qf, kf, vf)
@@ -794,6 +843,11 @@ def dot_product_attention(
         ):
             fold = _best_fold(q.shape[0], lq, lk, q.shape[2] * q.shape[3], q.dtype.itemsize)
             if fold * lq >= _SMALL_MIN_ROWS:
+                _log_dispatch(
+                    "small_batched", b=q.shape[0], lq=lq, lk=lk,
+                    h=q.shape[2], d=q.shape[3], fold=fold,
+                    dtype=str(q.dtype),
+                )
                 return small_batched_attention(q, k, v, scale=scale, fold=fold)
         use_flash = on_tpu and lq >= _FLASH_MIN_SEQ and lk >= _FLASH_MIN_SEQ
     if use_flash:
@@ -804,6 +858,10 @@ def dot_product_attention(
             # scripts/tests/attn_layout_bench.py).
             b, lq_, h, d = q.shape
             lk_ = k.shape[1]
+            _log_dispatch(
+                "flash_packed", b=b, lq=lq_, lk=lk_, h=h, d=d,
+                dtype=str(q.dtype),
+            )
             out = flash_attention_packed(
                 q.reshape(b, lq_, h * d),
                 k.reshape(b, lk_, h * d),

@@ -32,6 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vidseg_diffusion_tpu.ops.attention import _KERNEL_VMEM_LIMIT
+
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
@@ -129,6 +131,7 @@ def _conv3x3_impl(
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, width, cout), x.dtype),
         compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_KERNEL_VMEM_LIMIT,
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),
         interpret=interpret,

@@ -5,9 +5,19 @@ add / AlphaBlender mix) land in XLA:TPU's batch-in-sublanes conv emitter at
 ~21 TF/s once the elementwise epilogues fuse in — 30 ms of the swan UNet
 step across the 10 spatial + 10 temporal sites (fusion_attr:
 %broadcast_add_fusion / %add_multiply_fusion). A plain Pallas dot with fp32
-accumulation runs the same shapes at ~150 TF/s (ops/temporal_conv.py
-measures the identical [*, 320/640] dot family); the residual/mix adds stay
-in XLA where they are pure-bandwidth fusions.
+accumulation runs the same shapes at ~150 TF/s standalone.
+
+NEGATIVE RESULT (measured in-model, round 4, swan bench on v5e): routing the
+CrossAttention projections through this kernel made the full UNet step
+**31 ms SLOWER** (537.6 ms vs 506.7 ms with VIDSEG_PALLAS_MATMUL=0). The
+standalone 21 TF/s emitters were not idle time XLA could not recover: with
+the projection inside a custom call, XLA loses the surrounding elementwise
+fusions (residual add / AlphaBlender mix / bias epilogues become standalone
+bandwidth passes) and pays extra HBM round-trips that exceed the MXU win —
+the same failure mode as the fused GN+SiLU experiment (round 3 notes).
+Hence `use_pallas_matmul` defaults OFF; VIDSEG_PALLAS_MATMUL=1 re-enables
+for A/B runs. The kernel stays: it is tested, AD-capable, and the right
+building block if a future refactor hoists the epilogues into the kernel.
 """
 
 from __future__ import annotations
@@ -19,6 +29,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from vidseg_diffusion_tpu.ops.attention import _KERNEL_VMEM_LIMIT
 
 _VMEM_BUDGET = 12 * 1024 * 1024
 
@@ -94,6 +106,7 @@ def _matmul_bias_impl(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
         compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_KERNEL_VMEM_LIMIT,
             dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
@@ -131,19 +144,26 @@ def matmul_bias(
     """Pallas forward + closed-form reverse (pallas_call alone does not
     support reverse-mode AD, and this op sits on the training path through
     every CrossAttention projection)."""
+    from vidseg_diffusion_tpu.ops.attention import _log_dispatch
+
+    _log_dispatch(
+        "matmul_bias", m=x.shape[0], k=x.shape[1], n=w.shape[1],
+        dtype=str(x.dtype),
+    )
     return _mb(bool(interpret), x, w, bias)
 
 
 def use_pallas_matmul(m: int, k: int, n: int,
                       force: Optional[bool] = None) -> bool:
-    """Dispatcher predicate: big-M projection matmuls on TPU. Small K/N or
-    small M would leave the MXU idle; XLA's emitters are fine there.
-    VIDSEG_PALLAS_MATMUL=0 is the trace-time kill switch for A/B runs."""
+    """Dispatcher predicate. Default OFF: the round-4 in-model A/B measured
+    the Pallas projection path 31 ms/step SLOWER at swan scale (see module
+    docstring) — XLA's epilogue fusions beat the standalone-TF/s win.
+    VIDSEG_PALLAS_MATMUL=1 re-enables (big-M projections only) for A/B."""
     if force is not None:
         return bool(force)
     import os
 
-    if os.environ.get("VIDSEG_PALLAS_MATMUL") == "0":
+    if os.environ.get("VIDSEG_PALLAS_MATMUL") != "1":
         return False
     return (
         jax.default_backend() == "tpu"

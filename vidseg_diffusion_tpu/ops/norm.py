@@ -33,6 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vidseg_diffusion_tpu.ops.attention import _KERNEL_VMEM_LIMIT
+
 # block bytes; the kernels hold ~4 fp32-sized temporaries of the block
 # plus double-buffered in/out, so 1 MB blocks keep the stack under ~10 MB
 _TILE_BYTES = 1024 * 1024
@@ -97,6 +99,7 @@ def _stats_pallas(x4, tm, nm, interpret=False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 2, c), jnp.float32),
         compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_KERNEL_VMEM_LIMIT,
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
@@ -192,6 +195,7 @@ def group_norm_silu(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_KERNEL_VMEM_LIMIT,
             dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,

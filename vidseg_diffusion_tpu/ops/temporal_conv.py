@@ -36,6 +36,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vidseg_diffusion_tpu.ops.attention import _KERNEL_VMEM_LIMIT
+
 # Scoped VMEM on v5e faults at 16 MB; leave headroom for Mosaic temporaries.
 _VMEM_BUDGET = 13 * 1024 * 1024
 
@@ -115,6 +117,7 @@ def _temporal_conv_impl(
         ),
         out_shape=jax.ShapeDtypeStruct((b, t_frames, m, cout), x.dtype),
         compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_KERNEL_VMEM_LIMIT,
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),
         interpret=interpret,
@@ -164,6 +167,12 @@ def temporal_conv_1x1(
     """Pallas forward; reverse-mode AD via the shifted-matmul reference's
     VJP (pallas_call alone does not support reverse-mode — this op is on
     the training path of every video ResBlock)."""
+    from vidseg_diffusion_tpu.ops.attention import _log_dispatch
+
+    _log_dispatch(
+        "temporal_conv", b=x.shape[0], t=x.shape[1], m=x.shape[2],
+        cin=x.shape[3], kt=w.shape[0], cout=w.shape[2], dtype=str(x.dtype),
+    )
     return _tc(bool(interpret), x, w, bias)
 
 
