@@ -84,6 +84,41 @@ def test_generate_img2img(tmp_path):
         srv.shutdown()
 
 
+def test_generate_img2vid_gif(tmp_path):
+    """img2vid tab: SVD config server returns an animated GIF
+    (reference video_sampling.py counterpart)."""
+    from PIL import Image
+
+    from serve import DemoApp, make_handler
+
+    init = tmp_path / "cond.png"
+    Image.fromarray(
+        np.random.RandomState(1).randint(0, 255, (32, 32, 3), dtype=np.uint8)
+    ).save(init)
+    app = DemoApp(
+        "configs/inference/svd_tiny.yaml", default_size=32,
+        init_root=str(tmp_path),
+    )
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(app))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        form = urllib.parse.urlencode({
+            "mode": "img2vid", "steps": 2, "width": 32, "height": 32,
+            "num_frames": 2, "init_path": "cond.png", "seed": 3,
+        }).encode()
+        resp = urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.server_address[1]}/generate",
+            data=form, timeout=600,
+        )
+        assert resp.headers["Content-Type"] == "image/gif"
+        gif = Image.open(io.BytesIO(resp.read()))
+        assert gif.size == (32, 32)
+        assert getattr(gif, "n_frames", 1) == 2
+    finally:
+        srv.shutdown()
+
+
 def test_init_path_outside_root_rejected(server_url, tmp_path):
     # absolute path outside --init-root must be refused, not opened
     from PIL import Image

@@ -127,6 +127,35 @@ def test_refiner_cond_layout(refiner_api):
     np.testing.assert_allclose(cv[:, 48:-16], uv[:, 48:-16])
 
 
+def test_base_to_refiner_noisy_handoff(sdxl_api, refiner_api):
+    """The demo's two-stage SDXL flow (reference sampling.py:295-360):
+    base txt2img with Txt2NoisyDiscretizationWrapper(stage2strength) stops at
+    a nonzero σ and returns latents; the refiner finishes denoising them
+    with add_noise=False (finish_denoising)."""
+    from vidseg_diffusion_tpu.io.tokenizer import tokenize
+
+    tokens = tokenize(["a cat"], bpe_path=TINY_BPE)
+    params = SamplingParams(
+        width=64, height=64, steps=4, orig_width=64, orig_height=64
+    )
+    frames, z = sdxl_api.text_to_image(
+        params, tokens, rng=jax.random.PRNGKey(0),
+        txt2noisy_strength=0.5, return_latents=True,
+    )
+    assert frames.shape == (1, 64, 64, 3) and z.shape == (1, 8, 8, 4)
+    # stopping early must actually change the latent vs the full run
+    _, z_full = sdxl_api.text_to_image(
+        params, tokens, rng=jax.random.PRNGKey(0), return_latents=True
+    )
+    assert float(np.abs(np.asarray(z - z_full)).max()) > 1e-6
+    rp = SamplingParams(steps=4, img2img_strength=0.5)
+    out = refiner_api.refiner(
+        rp, z, tokens, rng=jax.random.PRNGKey(1), add_noise=False
+    )
+    assert out.shape == (1, 64, 64, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_img2img_strength_window_matches_reference_wrapper():
     """Our t_start mapping must select exactly the sigma window the
     reference's Img2ImgDiscretizationWrapper keeps (helpers.py:77-98:

@@ -74,3 +74,32 @@ def fid_from_features(feats1: jax.Array, feats2: jax.Array) -> jax.Array:
     mu1, s1 = feature_stats(feats1)
     mu2, s2 = feature_stats(feats2)
     return frechet_distance(mu1, s1, mu2, s2)
+
+
+def clip_features(
+    clip_image_fn, images: jax.Array, batch_size: int = 32
+) -> jax.Array:
+    """[-1, 1] images [N, H, W, 3] → embedding rows [N, D] through the
+    in-framework CLIP image tower. ``clip_image_fn`` is any frames→embedding
+    callable — ``Pipeline.clip_apply`` on an SVD build (the ViT-H tower with
+    its bicubic-224 preprocess, engine/build.py clip_image_fn) is the
+    in-framework choice. This is the CLIP-FID variant: the reference's
+    extractor (InceptionV3, sgm/modules/encoders/modules.py:187-205) wraps
+    absent pytorch_fid weights and stays excluded (PARITY.md)."""
+    images = jnp.asarray(images)
+    feats = [
+        clip_image_fn(images[i : i + batch_size])
+        for i in range(0, images.shape[0], batch_size)
+    ]
+    return feats[0] if len(feats) == 1 else jnp.concatenate(feats, axis=0)
+
+
+def clip_fid(
+    clip_image_fn, images1: jax.Array, images2: jax.Array, batch_size: int = 32
+) -> jax.Array:
+    """CLIP-FID between two image populations (both [N, H, W, 3] in
+    [-1, 1]); the end-to-end consumer of the Fréchet math above."""
+    return fid_from_features(
+        clip_features(clip_image_fn, images1, batch_size),
+        clip_features(clip_image_fn, images2, batch_size),
+    )

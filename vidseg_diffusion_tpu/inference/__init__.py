@@ -1,4 +1,4 @@
-"""High-level inference API (txt2img / img2img / img2vid)."""
+"""High-level inference API (txt2img / img2img / img2vid / refiner)."""
 
 from vidseg_diffusion_tpu.inference.api import (
     SamplingParams,
@@ -6,6 +6,8 @@ from vidseg_diffusion_tpu.inference.api import (
     Sampler,
     Discretization as APIDiscretization,
     Guider as APIGuider,
+    Txt2NoisyDiscretizationWrapper,
+    VideoSamplingParams,
 )
 
 __all__ = [
@@ -14,4 +16,6 @@ __all__ = [
     "Sampler",
     "APIDiscretization",
     "APIGuider",
+    "Txt2NoisyDiscretizationWrapper",
+    "VideoSamplingParams",
 ]
