@@ -105,40 +105,54 @@ def main():
     print(f"device->host: {d2h_s*1e3:.0f} ms/slice = {d2h_gbps:.2f} GB/s",
           flush=True)
 
-    # --- copy/compute overlap -------------------------------------------
-    # a compute chain sized like one UNet step (~0.55 s device time):
-    # chained matmuls so the scheduler cannot elide them
+    # --- copy/compute overlap (the PRODUCT dispatch pattern) --------------
+    # modulated_runs_host_stepped dispatches a full step of 2·M runs
+    # (seconds of queued device work) BEFORE issuing the next inject
+    # slice's device_put (one-slot lookahead). Measure exactly that: a
+    # deep data-dependent dispatch queue, then the put, then block on both.
+    # A shallow queue measures ~0 overlap through this transport (the r3
+    # harness's mistake — scripts/tests/overlap_probe.py isolates the two).
     n = 4096
     a = jax.device_put(np.ones((n, n), np.float32), dev)
 
     import functools
 
     @functools.partial(jax.jit, static_argnums=(1,))
-    def chain(a, reps):
+    def chain(x, reps):
         def body(x, _):
             return x @ a * (1.0 / n), None
-        x, _ = jax.lax.scan(body, a, None, length=reps)
+        x, _ = jax.lax.scan(body, x, None, length=reps)
         return x
 
-    reps = 8
+    reps = 64
     chain(a, reps).block_until_ready()
     t0 = time.perf_counter()
     chain(a, reps).block_until_ready()
-    compute_s = time.perf_counter() - t0
-    # scale reps so compute ≈ max(h2d_s, 0.3 s)
-    target = max(h2d_s, 0.3)
-    reps = max(1, int(reps * target / max(compute_s, 1e-3)))
-    chain(a, reps).block_until_ready()
+    per_chain_s = time.perf_counter() - t0
+    # queue ≈ 2×h2d of compute, split over several dependent dispatches
+    # like the per-run step dispatches in the product loop
+    n_disp = max(2, int(2.0 * max(h2d_s, 0.2) / max(per_chain_s, 1e-3)))
+    x = a
+    for _ in range(n_disp):
+        x = chain(x, reps)
+    x.block_until_ready()
     t0 = time.perf_counter()
-    chain(a, reps).block_until_ready()
+    x = a
+    for _ in range(n_disp):
+        x = chain(x, reps)
+    x.block_until_ready()
     compute_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    out = chain(a, reps)  # async dispatch
+    x = a
+    for _ in range(n_disp):
+        x = chain(x, reps)  # async dispatch queue (the "current step")
     put = {n_: jax.device_put(arr, dev) for n_, arr in host_slices.items()}
-    jax.block_until_ready((out, put))
+    jax.block_until_ready((x, put))
     both_s = time.perf_counter() - t0
-    overlap = max(0.0, (compute_s + h2d_s - both_s) / min(compute_s, h2d_s))
+    overlap = max(
+        0.0, min(1.0, (compute_s + h2d_s - both_s) / min(compute_s, h2d_s))
+    )
     print(f"compute {compute_s*1e3:.0f} ms + copy {h2d_s*1e3:.0f} ms "
           f"-> together {both_s*1e3:.0f} ms (overlap fraction {overlap:.2f})",
           flush=True)

@@ -1,0 +1,146 @@
+"""Sweep-level VSPW-style throughput on the real TPU — the BASELINE.md
+metric of record ("VSPW frames/sec/chip").
+
+Generates a synthetic multi-video dataset at swan-ish shapes (random
+frames; weights are random too, so frame content doesn't change cost),
+runs the REAL sweep loop (`run_vspw_video`: sliding 14-frame batches with
+tail overlap, kmeans mask mode, 2·num_masks modulated runs + decode + seg
+per batch), and records per-stage and per-video wall-clock plus
+frames/sec/chip into BENCH_SWEEP.json.
+
+The per-video work mirrors svd_pipeline_vspw.py:243-250, 649-676 (loop
+shape) at the swan demo's resolution. Run serialized with other TPU jobs:
+
+    python scripts/tests/sweep_bench.py [--videos 3] [--frames 21]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+
+def synth_dataset(root: str, videos: int, frames: int, h: int, w: int) -> list:
+    import numpy as np
+    from PIL import Image
+
+    names = []
+    rs = np.random.RandomState(0)
+    for v in range(videos):
+        name = f"video_{v:03d}"
+        d = os.path.join(root, name, "origin")
+        os.makedirs(d, exist_ok=True)
+        for f in range(frames):
+            p = os.path.join(d, f"{f:08d}.png")
+            if not os.path.exists(p):
+                Image.fromarray(
+                    rs.randint(0, 255, (h, w, 3), dtype=np.uint8)
+                ).save(p)
+        names.append(name)
+    return names
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--videos", type=int, default=3)
+    p.add_argument("--frames", type=int, default=21, help="frames per video "
+                   "(>14 exercises the sliding tail-overlap batch)")
+    p.add_argument("--height", type=int, default=448)
+    p.add_argument("--width", type=int, default=832)
+    p.add_argument("--num_masks", type=int, default=5)
+    p.add_argument("--num_steps", type=int, default=25)
+    p.add_argument("--decoding_t", type=int, default=7)
+    p.add_argument("--data_root", default="/tmp/vspw_synth")
+    p.add_argument("--out", default="BENCH_SWEEP.json")
+    args = p.parse_args()
+
+    os.makedirs(".jax_cache", exist_ok=True)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    import jax.numpy as jnp
+
+    from vidseg_diffusion_tpu.engine.build import build_pipeline
+    from vidseg_diffusion_tpu.pipelines.single_video import VidSegArgs
+    from vidseg_diffusion_tpu.pipelines.vspw import run_vspw_video
+
+    print("backend:", jax.default_backend(), flush=True)
+    names = synth_dataset(
+        args.data_root, args.videos, args.frames, args.height, args.width
+    )
+
+    t0 = time.perf_counter()
+    pipeline = build_pipeline(
+        "configs/inference/svd.yaml", ckpt_path=None,
+        num_steps=args.num_steps, num_frames=14, dtype=jnp.bfloat16,
+    )
+    print(f"build: {time.perf_counter()-t0:.1f}s", flush=True)
+
+    vargs = VidSegArgs(
+        exp_name="sweep_bench",
+        num_steps=args.num_steps,
+        num_masks=args.num_masks,
+        feature_extraction_mode="kmeans_masks",
+        decoding_t=args.decoding_t,
+        feature_folder="/tmp/sweep_bench_out",
+    )
+
+    per_video = []
+    stage_totals: dict = {}
+    total_frames = 0
+    t_sweep = time.perf_counter()
+    for i, vname in enumerate(names):
+        video_dir = os.path.join(args.data_root, vname, "origin")
+        timings: dict = {}
+        tv = time.perf_counter()
+        res = run_vspw_video(
+            pipeline, video_dir, vargs, num_frames=14,
+            use_gt_mask=False, timings=timings,
+        )
+        dv = time.perf_counter() - tv
+        per_video.append(round(dv, 2))
+        total_frames += len(res.seg)
+        for k, v in timings.items():
+            stage_totals[k] = stage_totals.get(k, 0.0) + v
+        print(f"{vname}: {dv:.1f}s ({len(res.seg)} frames) "
+              f"{ {k: round(v,1) for k,v in timings.items()} }", flush=True)
+    total_s = time.perf_counter() - t_sweep
+
+    n_chips = jax.device_count()
+    # steady-state rate: the first video carries every jit trace/compile;
+    # report both (the sweep metric of record excludes one-time compile,
+    # matching how the per-step bench excludes compilation)
+    steady_videos = per_video[1:] if len(per_video) > 1 else per_video
+    steady_frames = total_frames * len(steady_videos) / len(per_video)
+    steady_s = sum(steady_videos)
+    result = {
+        "videos": args.videos,
+        "frames_per_video": args.frames,
+        "resolution": f"{args.width}x{args.height}",
+        "num_masks": args.num_masks,
+        "num_steps": args.num_steps,
+        "decoding_t": args.decoding_t,
+        "chips": n_chips,
+        "total_s": round(total_s, 1),
+        "per_video_s": per_video,
+        "stage_totals_s": {k: round(v, 1) for k, v in stage_totals.items()},
+        "frames_per_sec_per_chip": round(
+            total_frames / total_s / n_chips, 4
+        ),
+        "frames_per_sec_per_chip_steady": round(
+            steady_frames / steady_s / n_chips, 4
+        ) if steady_s > 0 else None,
+    }
+    print(json.dumps(result))
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(f"wrote {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

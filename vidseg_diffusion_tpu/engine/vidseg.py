@@ -805,22 +805,36 @@ class VidSegEngine:
             }
         n_steps = sampler.num_steps - t_start
         gammas = sampler._gamma(sigmas, sampler.num_steps + 1)
+        # double-buffered H2D (same pattern as modulated_runs_host_stepped):
+        # the replicated put for inject step j is issued right after the
+        # previous step's dispatch so it hides behind queued device compute
+        inject_list = sorted(inject_steps)
+
+        def put_slice(j):
+            return {
+                name: jax.device_put(jnp.asarray(arr[j - t0]), repl)
+                for name, arr in host_inj.items()
+            }
+
+        pending: Dict[int, Dict] = {}
+        if inject_list:
+            pending[inject_list[0]] = put_slice(inject_list[0])
         for n, i in enumerate(range(t_start, sampler.num_steps)):
             args = (c_r, uc_r, xs, jnp.asarray(i), sigmas[i], sigmas[i + 1],
                     gammas[i], mt_r, ml_r, lam_r)
-            if host_inj is not None and i in inject_steps:
-                step_inj = {
-                    name: jax.device_put(jnp.asarray(arr[i - t0]), repl)
-                    for name, arr in host_inj.items()
-                }
+            step_inj = pending.pop(i, None)
+            if step_inj is not None:
                 xs = self._sharded_step_jit(mesh, sliced=True)(
                     params_r, cache_r, step_inj, *args
                 )
-                del step_inj
             else:
                 xs = self._sharded_step_jit(mesh, sliced=False)(
                     params_r, cache_r, {}, *args
                 )
+            nxt = next((j for j in inject_list if j > i), None)
+            if nxt is not None and nxt not in pending:
+                pending[nxt] = put_slice(nxt)
+            del step_inj
             if progress is not None:
                 progress(n + 1, n_steps)
         out = xs.reshape((g * nd,) + xs.shape[2:])[:total]
@@ -906,18 +920,38 @@ class VidSegEngine:
         done = 0
         # steps OUTER, runs inner: every run consumes the same per-step
         # injected slice, so host→HBM streaming is once per STEP (≈1.1 GB)
-        # instead of once per (run, step) — 2·M× less transfer
+        # instead of once per (run, step) — 2·M× less transfer.
+        #
+        # Double-buffered H2D: the put for inject step j is issued right
+        # after the PREVIOUS step's 2·M run dispatches (one-slot lookahead),
+        # so the transfer rides behind seconds of queued device compute.
+        # Measured (scripts/tests/overlap_probe.py): transfers hide FULLY
+        # behind a deep dispatch queue (hidden fraction 1.0) but not behind
+        # a shallow one — hence prefetch-after-dispatch, never put-then-wait.
+        inject_list = sorted(inject_steps)
+
+        def put_slice(j):
+            return {
+                name: jnp.asarray(arr[j - t0]) for name, arr in host_inj.items()
+            }
+
+        pending: Dict[int, Dict] = {}
+        if inject_list:
+            # first slice has no compute to hide behind (t_start == first
+            # inject step on the reference schedule) — pay it up front
+            pending[inject_list[0]] = put_slice(inject_list[0])
         for i in range(t_start, sampler.num_steps):
-            step_inj = None
-            if host_inj is not None and i in inject_steps:
-                step_inj = {
-                    name: jnp.asarray(arr[i - t0]) for name, arr in host_inj.items()
-                }
+            step_inj = pending.pop(i, None)
             for r in range(total):
                 xs[r] = step_fn(
                     step_inj, xs[r], i, sigmas[i], sigmas[i + 1],
                     mts[r], mls[r], lams[r],
                 )
+            # prefetch the next inject slice while this step's runs execute;
+            # dropping step_inj releases the consumed device buffers
+            nxt = next((j for j in inject_list if j > i), None)
+            if nxt is not None and nxt not in pending:
+                pending[nxt] = put_slice(nxt)
             del step_inj
             done += 1
             if progress is not None:

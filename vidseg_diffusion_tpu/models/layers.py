@@ -30,6 +30,17 @@ import jax.numpy as jnp
 from vidseg_diffusion_tpu.ops.attention import dot_product_attention
 
 
+def _outproj_mode() -> str:
+    """Attention out-projection lowering (A/B knob for the swan bench):
+    'einsum' (2-contracting-dim form), 'flat' ([B·L,HD]@[HD,C]), each
+    optionally '_barrier' (optimization_barrier keeps the caller's residual
+    epilogues out of the projection fusion). Default from the round-4
+    in-model A/B."""
+    import os
+
+    return os.environ.get("VIDSEG_OUTPROJ_MODE", "einsum")
+
+
 def timestep_embedding(
     timesteps: jax.Array, dim: int, max_period: int = 10000
 ) -> jax.Array:
@@ -374,12 +385,29 @@ class CrossAttention(nn.Module):
                 bo.astype(self.dtype),
             )
             return y.reshape(b, lq, out_dim)
-        return (
-            jnp.einsum(
-                "blhd,hdc->blc", out, wo.astype(self.dtype).reshape(h, dh, out_dim)
+        mode = _outproj_mode()
+        if mode.startswith("flat"):
+            # single-contraction [B·L, H·D] @ [H·D, C]: both reshapes are
+            # views of contiguous layouts; the 2-contracting-dim einsum form
+            # can push XLA's emitter choice differently
+            y = (
+                out.reshape(b * lq, inner) @ wo.astype(self.dtype)
+            ).reshape(b, lq, out_dim) + bo.astype(self.dtype)
+        else:
+            y = (
+                jnp.einsum(
+                    "blhd,hdc->blc", out,
+                    wo.astype(self.dtype).reshape(h, dh, out_dim),
+                )
+                + bo.astype(self.dtype)
             )
-            + bo.astype(self.dtype)
-        )
+        if mode.endswith("barrier"):
+            # keep the caller's residual add / AlphaBlender mix OUT of the
+            # projection fusion: fused epilogues demote the matmul to the
+            # ~21 TF/s batch-in-sublanes conv emitter (PROFILE_UNET
+            # %broadcast_add_fusion/%add_multiply_fusion)
+            y = jax.lax.optimization_barrier(y)
+        return y
 
 
 @flax.struct.dataclass

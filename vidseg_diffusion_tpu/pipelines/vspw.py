@@ -80,6 +80,8 @@ def run_vspw_video(
     num_frames: int = 14,
     text_tokens: Optional[np.ndarray] = None,
     use_gt_mask: bool = True,
+    timings: Optional[Dict[str, float]] = None,  # out-param: per-stage
+    # seconds accumulated across the video's sliding batches
 ) -> VSPWVideoResult:
     paths = list_video_frames(video_dir)
     frames_all, names_all, ori_hw = load_frames(paths)
@@ -102,6 +104,9 @@ def run_vspw_video(
         gt_mask = None
         if bi == 0 and use_gt_mask and args.feature_extraction_mode == "match_gt_mask":
             gt_mask = load_gt_mask(video_dir, names_all[0], fh, fw)
+        batch_timings: Optional[Dict[str, float]] = (
+            {} if timings is not None else None
+        )
         result = run_single_video(
             pipeline,
             frames,
@@ -112,7 +117,12 @@ def run_vspw_video(
             gt_state=gt_state,
             text_tokens=text_tokens,
             write_outputs=False,
+            timings=batch_timings,
         )
+        if timings is not None:
+            for k, v in batch_timings.items():
+                if not k.startswith("_"):
+                    timings[k] = timings.get(k, 0.0) + v
         gt_state = result.gt_state
         unique_labels = result.unique_labels
         for i, name in enumerate(names):
