@@ -129,9 +129,15 @@ def main():
     t0 = time.perf_counter()
     chain(a, reps).block_until_ready()
     per_chain_s = time.perf_counter() - t0
-    # queue ≈ 2×h2d of compute, split over several dependent dispatches
-    # like the per-run step dispatches in the product loop
-    n_disp = max(2, int(2.0 * max(h2d_s, 0.2) / max(per_chain_s, 1e-3)))
+    # queue ≈ 2×h2d of compute over a HANDFUL of big dispatches, like the
+    # per-run step dispatches in the product loop (each ~0.5 s). Dozens of
+    # small dispatches hit the transport's inflight-dispatch cap and BLOCK
+    # the host before the put is even issued — that measures the cap, not
+    # the overlap (the r4 first-cut's mistake; overlap_probe.py deep-queue
+    # variant shows full hiding with 3 big dispatches).
+    n_disp = 4
+    reps = max(64, int(64 * 2.0 * max(h2d_s, 0.2)
+                       / (n_disp * max(per_chain_s, 1e-3))))
     x = a
     for _ in range(n_disp):
         x = chain(x, reps)

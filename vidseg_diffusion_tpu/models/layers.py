@@ -34,11 +34,12 @@ def _outproj_mode() -> str:
     """Attention out-projection lowering (A/B knob for the swan bench):
     'einsum' (2-contracting-dim form), 'flat' ([B·L,HD]@[HD,C]), each
     optionally '_barrier' (optimization_barrier keeps the caller's residual
-    epilogues out of the projection fusion). Default from the round-4
-    in-model A/B."""
+    epilogues out of the projection fusion). Default 'flat' from the
+    round-4 in-model A/B (28.18 vs 27.72 f/s for einsum; barrier variants
+    LOSE — the fused epilogue is bandwidth-bound, not emitter-demoted)."""
     import os
 
-    return os.environ.get("VIDSEG_OUTPROJ_MODE", "einsum")
+    return os.environ.get("VIDSEG_OUTPROJ_MODE", "flat")
 
 
 def timestep_embedding(

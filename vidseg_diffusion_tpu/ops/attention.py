@@ -33,6 +33,14 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 _LOG2_E = math.log2(math.e)
 
+# A/B knob (read at import): fold the softmax denominator into the P·V dot
+# in the packed flash kernel (ones-column on v) — see _flash_kernel_packed.
+# Default ON from the round-4 in-model A/B: 28.23 f/s vs 28.18 without, on
+# top of outproj=flat (505.0 ms -> 495.9 ms for the two knobs together).
+import os as _os  # noqa: E402
+
+_FUSED_PSUM = _os.environ.get("VIDSEG_FLASH_FUSED_PSUM", "1") == "1"
+
 # Trace-time kernel-dispatch log. When set to a list (tests/tpu smoke test),
 # every Pallas-kernel dispatch appends {"kind", shape/params} as it is traced,
 # so the exact kernel set of a program (e.g. the bench step) can be
@@ -349,22 +357,48 @@ def _flash_kernel_packed(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
         m_prev = m_ref[:, hh:hh + 1]
         l_prev = l_ref[:, hh:hh + 1]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
+        if _FUSED_PSUM:
+            # fold the softmax denominator into the P·V dot: append a ones
+            # column to the head's v slice, so the MXU pass emits [pv | Σp]
+            # in one shot and the VPU sum-reduce over the [bq, bk] logits
+            # disappears (this kernel is VPU-softmax-bound — ROUND_NOTES
+            # r2). The d=64 output already pads to 128 lanes, so the extra
+            # column is MXU-free. Σp accumulates the bf16-ROUNDED p in f32
+            # — the same weights the numerator uses.
+            vs = v[:, sl]
+            ve = jnp.concatenate(
+                [vs, jnp.ones((vs.shape[0], 1), vs.dtype)], axis=1
+            )
         if nkb == 1:
             p = jnp.exp2(s - m_cur)
-            psum = jnp.sum(p, axis=-1, keepdims=True)
-            pv = jax.lax.dot_general(
-                p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            if _FUSED_PSUM:
+                pv_ext = jax.lax.dot_general(
+                    p.astype(v.dtype), ve, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                pv, psum = pv_ext[:, :d], pv_ext[:, d:]
+            else:
+                psum = jnp.sum(p, axis=-1, keepdims=True)
+                pv = jax.lax.dot_general(
+                    p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
             o_ref[0, :, sl] = (pv / psum).astype(o_ref.dtype)
         else:
             m_next = jnp.maximum(m_prev, m_cur)
             p = jnp.exp2(s - m_next)
-            psum = jnp.sum(p, axis=-1, keepdims=True)
-            pv = jax.lax.dot_general(
-                p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            if _FUSED_PSUM:
+                pv_ext = jax.lax.dot_general(
+                    p.astype(v.dtype), ve, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                pv, psum = pv_ext[:, :d], pv_ext[:, d:]
+            else:
+                psum = jnp.sum(p, axis=-1, keepdims=True)
+                pv = jax.lax.dot_general(
+                    p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
             alpha = jnp.exp2(m_prev - m_next)
             acc_ref[:, sl] = acc_ref[:, sl] * alpha + pv
             m_ref[:, hh:hh + 1] = m_next
