@@ -24,10 +24,12 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Callable, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from vidseg_diffusion_tpu.diffusion.denoiser import Denoiser
 from vidseg_diffusion_tpu.diffusion.sampling import EulerEDMSampler
@@ -43,6 +45,53 @@ from vidseg_diffusion_tpu.models.video_layers import SiteInjection, SiteModulati
 from vidseg_diffusion_tpu.ops.image import resize_nearest
 
 Cond = Dict[str, jnp.ndarray]
+
+
+def _packed_stream_enabled() -> bool:
+    """Stream each step's injected slice as ONE contiguous buffer (default)
+    instead of one device_put per harvest entry. The 18 per-entry puts issue
+    18 transport round-trips per step; through the tunneled runtime those
+    serialize against the queued compute dispatches and the copies stop
+    hiding behind compute (host_stream_bench r4: together 7.5 s vs 1.0 s
+    copy + 1.4 s compute). One flat buffer = one DMA, which hides fully
+    behind a deep dispatch queue (overlap_probe). VIDSEG_PACKED_STREAM=0
+    opts back into per-entry puts."""
+    return os.environ.get("VIDSEG_PACKED_STREAM", "1") == "1"
+
+
+def _pack_step_slices(host_inj: Dict, idx: int):
+    """Pack step `idx`'s per-entry host slices into one contiguous 1-D numpy
+    buffer. Returns (flat, layout) with layout a static tuple of
+    (name, offset, shape), or None when entry dtypes differ (mixed-dtype
+    caches fall back to per-entry puts). A fresh buffer is allocated per
+    call: the previous step's put may still be in flight and jax only holds
+    a reference to — not a copy of — the source numpy array."""
+    dtypes = {a.dtype for a in host_inj.values()}
+    if len(dtypes) != 1:
+        return None
+    layout = []
+    off = 0
+    for name in sorted(host_inj):
+        shape = tuple(int(d) for d in host_inj[name].shape[1:])
+        layout.append((name, off, shape))
+        off += int(np.prod(shape))
+    flat = np.empty((off,), dtype=next(iter(dtypes)))
+    for name, o, shape in layout:
+        cnt = int(np.prod(shape))
+        flat[o:o + cnt] = host_inj[name][idx].reshape(-1)
+    return flat, tuple(layout)
+
+
+def _unpack_step_slices(flat: jnp.ndarray, layout) -> Dict[str, jnp.ndarray]:
+    """Traced inverse of _pack_step_slices: static-offset views of the flat
+    streamed buffer, reshaped to each entry's per-step shape."""
+    out = {}
+    for name, off, shape in layout:
+        cnt = 1
+        for d in shape:
+            cnt *= d
+        out[name] = flat[off:off + cnt].reshape(shape)
+    return out
 
 # harvest site name → (module child, attn name) inside output_blocks_{i}_1
 _SITES = {
@@ -262,40 +311,59 @@ class VidSegEngine:
         each step), only the small xt/t0 cache lives on device. v5e HBM
         (16 GB) cannot hold the full injected cache (~8.7 GB windowed at
         swan scale) next to the 3 GB params and the runs working set."""
+        return jax.jit(self._mod_step_sliced_impl)
+
+    def _mod_step_sliced_impl(self, params_, dev_cache_, step_inj_, c_, uc_,
+                              x, i, sigma, next_sigma, gamma, masks_tok,
+                              masks_lat, lam):
+        """Shared (traceable) body of the host-streamed-injection step —
+        jitted directly by jit_mod_step_sliced (per-entry dict) and via the
+        flat-buffer unpack by jit_mod_step_packed."""
         cfg = self.mod_cfg
         sampler = self.sampler
         b_start, b_end = cfg.blend_window()
         blend = cfg.is_latent_blending
+        # harvest entries that stayed in the DEVICE cache (e.g. the
+        # cluster blocks' spatial_self q, which the mask stage needs
+        # resident) must still inject: merge their per-step slice into
+        # the host-streamed slice. Without this, an SD run whose cluster
+        # block is also an injection block silently skipped that
+        # block's q injection whenever the cache was host-offloaded.
+        merged = dict(step_inj_)
+        for b_, site_, tensor_ in self.harvest.entries:
+            name_ = HarvestSpec.name(b_, site_, tensor_)
+            if name_ in dev_cache_ and name_ not in merged:
+                merged[name_] = _cache_step(dev_cache_, name_, i)
+        hooks_fn = self._build_hooks_fn(
+            masks_tok, lam, merged, sliced=True
+        )
+        denoise_fn = self._denoise_fn(
+            params_, c_, uc_, cfg.num_frames, hooks_fn=hooks_fn, collect=False
+        )
+        x, _ = sampler.step(denoise_fn, x, sigma, next_sigma, i, gamma)
+        if blend and "xt" in dev_cache_:
+            mlat = masks_lat[:, :, :, None]
+            gate = (i >= b_start) & (i <= b_end)
+            ori = _cache_step(dev_cache_, "xt", i)
+            blended = x * mlat + ori.astype(x.dtype) * (1.0 - mlat)
+            x = jnp.where(gate, blended, x)
+        return x
 
-        def step_impl(params_, dev_cache_, step_inj_, c_, uc_, x, i, sigma,
-                      next_sigma, gamma, masks_tok, masks_lat, lam):
-            # harvest entries that stayed in the DEVICE cache (e.g. the
-            # cluster blocks' spatial_self q, which the mask stage needs
-            # resident) must still inject: merge their per-step slice into
-            # the host-streamed slice. Without this, an SD run whose cluster
-            # block is also an injection block silently skipped that
-            # block's q injection whenever the cache was host-offloaded.
-            merged = dict(step_inj_)
-            for b_, site_, tensor_ in self.harvest.entries:
-                name_ = HarvestSpec.name(b_, site_, tensor_)
-                if name_ in dev_cache_ and name_ not in merged:
-                    merged[name_] = _cache_step(dev_cache_, name_, i)
-            hooks_fn = self._build_hooks_fn(
-                masks_tok, lam, merged, sliced=True
-            )
-            denoise_fn = self._denoise_fn(
-                params_, c_, uc_, cfg.num_frames, hooks_fn=hooks_fn, collect=False
-            )
-            x, _ = sampler.step(denoise_fn, x, sigma, next_sigma, i, gamma)
-            if blend and "xt" in dev_cache_:
-                mlat = masks_lat[:, :, :, None]
-                gate = (i >= b_start) & (i <= b_end)
-                ori = _cache_step(dev_cache_, "xt", i)
-                blended = x * mlat + ori.astype(x.dtype) * (1.0 - mlat)
-                x = jnp.where(gate, blended, x)
-            return x
+    @functools.cached_property
+    def jit_mod_step_packed(self):
+        """jit_mod_step_sliced taking the step's injected slices as ONE
+        flat streamed buffer + a static layout (see _pack_step_slices)."""
 
-        return jax.jit(step_impl)
+        def step_impl(params_, dev_cache_, flat_, c_, uc_, x, i, sigma,
+                      next_sigma, gamma, masks_tok, masks_lat, lam, *,
+                      layout):
+            step_inj_ = _unpack_step_slices(flat_, layout)
+            return self._mod_step_sliced_impl(
+                params_, dev_cache_, step_inj_, c_, uc_, x, i, sigma,
+                next_sigma, gamma, masks_tok, masks_lat, lam,
+            )
+
+        return jax.jit(step_impl, static_argnames=("layout",))
 
     @functools.cached_property
     def jit_feat_step(self):
@@ -681,14 +749,16 @@ class VidSegEngine:
             )
         return self._sharded_jit_cache[key]
 
-    def _sharded_step_jit(self, mesh, sliced: bool):
+    def _sharded_step_jit(self, mesh, sliced):
         """One mesh-sharded Euler step over the [g, nd, ...] runs grid
         (runs axis sharded, everything else replicated), cached per
         (mesh, sliced). The sliced variant takes the current step's
         host-streamed injected q/k slices as a replicated argument —
         the full injected cache never resides in HBM (the v5e cannot hold
         the ~8.7 GB swan-scale cache replicated next to params + runs
-        working set, VERDICT r2 weak #2)."""
+        working set, VERDICT r2 weak #2). sliced='packed' takes them as
+        ONE flat replicated buffer + static layout (_pack_step_slices) —
+        one DMA per device per step instead of one per harvest entry."""
         key = ("step", mesh, sliced)
         if key not in self._sharded_jit_cache:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -701,7 +771,11 @@ class VidSegEngine:
             blend = cfg.is_latent_blending
 
             def step_impl(params_, dev_cache_, step_inj_, c_, uc_, x, i,
-                          sigma, next_sigma, gamma, mt, ml, lam):
+                          sigma, next_sigma, gamma, mt, ml, lam,
+                          layout=None):
+                if layout is not None:
+                    step_inj_ = _unpack_step_slices(step_inj_, layout)
+
                 def single(x1, mt1, ml1, lam1):
                     if sliced:
                         merged = dict(step_inj_)
@@ -738,6 +812,7 @@ class VidSegEngine:
                     repl, repl, repl, repl, rsh, rsh, rsh,
                 ),
                 out_shardings=rsh,
+                static_argnums=(13,),
             )
         return self._sharded_jit_cache[key]
 
@@ -809,8 +884,14 @@ class VidSegEngine:
         # the replicated put for inject step j is issued right after the
         # previous step's dispatch so it hides behind queued device compute
         inject_list = sorted(inject_steps)
+        packed_ok = _packed_stream_enabled()
 
         def put_slice(j):
+            if packed_ok:
+                packed = _pack_step_slices(host_inj, j - t0)
+                if packed is not None:
+                    flat, layout = packed
+                    return jax.device_put(flat, repl), layout
             return {
                 name: jax.device_put(jnp.asarray(arr[j - t0]), repl)
                 for name, arr in host_inj.items()
@@ -823,7 +904,12 @@ class VidSegEngine:
             args = (c_r, uc_r, xs, jnp.asarray(i), sigmas[i], sigmas[i + 1],
                     gammas[i], mt_r, ml_r, lam_r)
             step_inj = pending.pop(i, None)
-            if step_inj is not None:
+            if isinstance(step_inj, tuple):
+                flat, layout = step_inj
+                xs = self._sharded_step_jit(mesh, sliced="packed")(
+                    params_r, cache_r, flat, *args, layout
+                )
+            elif step_inj is not None:
                 xs = self._sharded_step_jit(mesh, sliced=True)(
                     params_r, cache_r, step_inj, *args
                 )
@@ -878,6 +964,13 @@ class VidSegEngine:
         gammas = sampler._gamma(sigmas, sampler.num_steps + 1)
 
         def step_fn(step_inj, x, i, sigma, next_sigma, masks_tok, masks_lat, lam):
+            if isinstance(step_inj, tuple):  # packed (flat buffer, layout)
+                flat, layout = step_inj
+                return self.jit_mod_step_packed(
+                    params, cache, flat, c, uc, x, jnp.asarray(i),
+                    sigma, next_sigma, gammas[i], masks_tok, masks_lat, lam,
+                    layout=layout,
+                )
             if step_inj is not None:
                 return self.jit_mod_step_sliced(
                     params, cache, step_inj, c, uc, x, jnp.asarray(i),
@@ -929,8 +1022,14 @@ class VidSegEngine:
         # behind a deep dispatch queue (hidden fraction 1.0) but not behind
         # a shallow one — hence prefetch-after-dispatch, never put-then-wait.
         inject_list = sorted(inject_steps)
+        packed_ok = _packed_stream_enabled()
 
         def put_slice(j):
+            if packed_ok:
+                packed = _pack_step_slices(host_inj, j - t0)
+                if packed is not None:
+                    flat, layout = packed
+                    return jnp.asarray(flat), layout
             return {
                 name: jnp.asarray(arr[j - t0]) for name, arr in host_inj.items()
             }
