@@ -14,7 +14,7 @@ Writes BENCH_TRAIN.json {fwd_ms, step_ms, bwd_fwd_ratio} at the repo root.
 Steps are chained through the updated params so the tunnel cannot serve
 cached dispatches. Run serialized with other TPU jobs:
 
-    python scripts/tests/train_bench.py [--iters 4]
+    python scripts/tests/train_bench.py [--iters 4] [--remat 0|1]
 """
 
 import argparse
@@ -29,16 +29,13 @@ import jax
 import jax.numpy as jnp
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=4)
-    ap.add_argument("--out", default="BENCH_TRAIN.json")
-    args = ap.parse_args()
+def build_train(remat: bool = True, t: int = 14, h: int = 56, w: int = 104):
+    """Build the swan-shape training fwd/step closures + synthetic state.
 
-    os.makedirs(".jax_cache", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-
+    Returns dict(fwd=, step=, params=, rng=, batch=, n_params=). fwd/step
+    are UNJITTED python callables closing over the module; jit at the call
+    site so triage can .lower() them.
+    """
     import numpy as np
 
     from vidseg_diffusion_tpu.diffusion.denoiser import Denoiser
@@ -49,12 +46,11 @@ def main():
     from vidseg_diffusion_tpu.diffusion.scaling import VScalingWithEDMcNoise
     from vidseg_diffusion_tpu.models.unet import UNetConfig, UNetModel
 
-    t, h, w = 14, 56, 104  # swan latents (832x448 / 8)
     cfg = UNetConfig(
         in_channels=8, out_channels=4, model_channels=320, num_res_blocks=2,
         attention_resolutions=(4, 2, 1), channel_mult=(1, 2, 4, 4),
         num_head_channels=64, context_dim=1024, adm_in_channels=768,
-        video=True, dtype=jnp.bfloat16, remat=True,
+        video=True, dtype=jnp.bfloat16, remat=remat,
     )
     unet = UNetModel(cfg)
 
@@ -86,7 +82,6 @@ def main():
     params = jax.jit(synth)(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
     n_params = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes))
-    print(f"params: {n_params/1e9:.2f}B bf16 (remat=True)", flush=True)
 
     loss_mod = StandardDiffusionLoss(
         denoiser=Denoiser(VScalingWithEDMcNoise()),
@@ -123,14 +118,12 @@ def main():
         ),
     }
 
-    @jax.jit
     def fwd(p, rng, batch):
         # the loss re-noises the batch; chain batch <- pred-ish value so
         # repeated dispatches differ
         loss = loss_mod(network_factory(p), rng, batch, cond)
         return loss, batch + loss.astype(batch.dtype) * 1e-6
 
-    @jax.jit
     def step(p, rng, batch):
         def loss_fn(p):
             return loss_mod(network_factory(p), rng, batch, cond)
@@ -138,6 +131,35 @@ def main():
         loss, grads = jax.value_and_grad(loss_fn)(p)
         p = jax.tree.map(lambda a, g: (a - 1e-4 * g).astype(a.dtype), p, grads)
         return p, loss, batch + loss.astype(batch.dtype) * 1e-6
+
+    return dict(
+        fwd=fwd, step=step, params=params, rng=rng, batch=batch,
+        n_params=n_params, shape=(t, h, w),
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--remat", type=int, default=1)
+    ap.add_argument("--out", default="BENCH_TRAIN.json")
+    args = ap.parse_args()
+
+    os.makedirs(".jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    import numpy as np
+
+    built = build_train(remat=bool(args.remat))
+    t, h, w = built["shape"]
+    print(
+        f"params: {built['n_params']/1e9:.2f}B bf16 (remat={bool(args.remat)})",
+        flush=True,
+    )
+    fwd = jax.jit(built["fwd"])
+    step = jax.jit(built["step"])
+    params, rng, batch = built["params"], built["rng"], built["batch"]
 
     def fetch(a):
         # on-device slice first — np.asarray of the full array would drag
@@ -176,7 +198,8 @@ def main():
     step_s = timed(step_chain, state, "step")
 
     result = {
-        "shape": f"[{t},{h},{w}] bf16 swan latents, remat'd 1.52B VideoUNet",
+        "shape": f"[{t},{h},{w}] bf16 swan latents, "
+                 f"{'remat' if args.remat else 'no-remat'} 1.52B VideoUNet",
         "fwd_ms": round(fwd_s * 1e3, 1),
         "step_ms": round(step_s * 1e3, 1),
         "bwd_fwd_ratio": round((step_s - fwd_s) / fwd_s, 2),

@@ -1,0 +1,133 @@
+"""Triage the train-step compile SIGSEGV (BENCH_TRAIN blocker).
+
+The remat'd swan-shape training forward crashed the remote tpu_compile_helper
+subprocess with SIGSEGV (train_bench_r4b.log). This script isolates the
+crasher without paying full-program compiles blindly:
+
+1. trace-only lower of fwd on the TPU backend with ops.attention.DISPATCH_LOG
+   set -> the exact Pallas kernel shapes the train program dispatches
+   (batch=14, no CFG doubling -> shapes the bench/compile-smoke never saw);
+2. compile each dispatched kernel shape STANDALONE (small programs; a
+   compile-helper SIGSEGV surfaces as a catchable JaxRuntimeError);
+3. if all kernels pass, bisect the full program: fwd remat=0, then fwd
+   remat=1, then the grad step.
+
+Run serialized with other TPU jobs:
+
+    python scripts/tests/train_triage.py [--stage kernels|fwd0|fwd1|step]
+"""
+
+import argparse
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+import jax
+import jax.numpy as jnp
+
+
+def compile_kernel(rec) -> str:
+    """Compile one dispatched kernel shape standalone; returns status."""
+    from vidseg_diffusion_tpu.ops import attention as A
+
+    b, lq, lk, h, d = rec["b"], rec["lq"], rec["lk"], rec["h"], rec["d"]
+    dtype = jnp.bfloat16 if "bfloat16" in rec["dtype"] else jnp.float32
+    q = jnp.zeros((b, lq, h, d), dtype)
+    k = jnp.zeros((b, lk, h, d), dtype)
+    v = jnp.zeros((b, lk, h, d), dtype)
+
+    if rec["kind"] == "small_batched":
+        fn = lambda q, k, v: A.small_batched_attention(q, k, v, fold=rec["fold"])
+    else:
+        fn = lambda q, k, v: A.flash_attention_packed(
+            q.reshape(b, lq, h * d), k.reshape(b, lk, h * d),
+            v.reshape(b, lk, h * d), heads=h,
+        )
+    t0 = time.perf_counter()
+    try:
+        jax.jit(fn).lower(q, k, v).compile()
+        return f"ok ({time.perf_counter()-t0:.1f}s)"
+    except Exception as e:  # noqa: BLE001 — triage wants the message, not a crash
+        return f"FAIL: {type(e).__name__}: {str(e)[:300]}"
+
+
+def grad_kernel(rec) -> str:
+    """Compile the VJP of one dispatched kernel shape standalone."""
+    from vidseg_diffusion_tpu.ops import attention as A
+
+    b, lq, lk, h, d = rec["b"], rec["lq"], rec["lk"], rec["h"], rec["d"]
+    dtype = jnp.bfloat16 if "bfloat16" in rec["dtype"] else jnp.float32
+    q = jnp.zeros((b, lq, h, d), dtype)
+    k = jnp.zeros((b, lk, h, d), dtype)
+    v = jnp.zeros((b, lk, h, d), dtype)
+
+    if rec["kind"] == "small_batched":
+        fn = lambda q, k, v: A.small_batched_attention(q, k, v, fold=rec["fold"]).astype(jnp.float32).sum()
+    else:
+        fn = lambda q, k, v: A.flash_attention_packed(
+            q.reshape(b, lq, h * d), k.reshape(b, lk, h * d),
+            v.reshape(b, lk, h * d), heads=h,
+        ).astype(jnp.float32).sum()
+    t0 = time.perf_counter()
+    try:
+        jax.jit(jax.grad(fn, argnums=(0, 1, 2))).lower(q, k, v).compile()
+        return f"ok ({time.perf_counter()-t0:.1f}s)"
+    except Exception as e:  # noqa: BLE001
+        return f"FAIL: {type(e).__name__}: {str(e)[:300]}"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", default="kernels",
+                    choices=["kernels", "fwd0", "fwd1", "step0", "step1"])
+    args = ap.parse_args()
+
+    os.makedirs(".jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    print("backend:", jax.default_backend(), flush=True)
+
+    from vidseg_diffusion_tpu.ops import attention as A
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from train_bench import build_train  # noqa: E402 — sibling script
+
+    if args.stage == "kernels":
+        # 1. trace-only lower: collect dispatched kernel shapes (no compile)
+        A.DISPATCH_LOG = []
+        built = build_train(remat=True)
+        jax.jit(built["fwd"]).lower(built["params"], built["rng"], built["batch"])
+        seen = {}
+        for rec in A.DISPATCH_LOG:
+            seen[tuple(sorted(rec.items()))] = rec
+        print(f"{len(seen)} distinct kernel dispatches in fwd:", flush=True)
+        A.DISPATCH_LOG = None
+        for rec in seen.values():
+            print(f"  {rec}", flush=True)
+        # 2. compile each standalone — fwd and grad
+        for rec in seen.values():
+            print(f"fwd  {rec['kind']} b={rec['b']} lq={rec['lq']} lk={rec['lk']} "
+                  f"h={rec['h']} d={rec['d']}: {compile_kernel(rec)}", flush=True)
+        for rec in seen.values():
+            print(f"grad {rec['kind']} b={rec['b']} lq={rec['lq']} lk={rec['lk']} "
+                  f"h={rec['h']} d={rec['d']}: {grad_kernel(rec)}", flush=True)
+        return
+
+    remat = args.stage.endswith("1")
+    built = build_train(remat=remat)
+    fn = built["fwd"] if args.stage.startswith("fwd") else built["step"]
+    name = f"{'fwd' if args.stage.startswith('fwd') else 'step'}(remat={remat})"
+    t0 = time.perf_counter()
+    try:
+        jax.jit(fn).lower(built["params"], built["rng"], built["batch"]).compile()
+        print(f"{name}: compile ok ({time.perf_counter()-t0:.1f}s)", flush=True)
+    except Exception:  # noqa: BLE001
+        print(f"{name}: COMPILE FAILED after {time.perf_counter()-t0:.1f}s", flush=True)
+        traceback.print_exc()
+
+
+if __name__ == "__main__":
+    main()
