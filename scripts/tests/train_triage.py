@@ -29,53 +29,48 @@ import jax
 import jax.numpy as jnp
 
 
-def compile_kernel(rec) -> str:
-    """Compile one dispatched kernel shape standalone; returns status."""
+def _kernel_fn_args(rec):
+    """Return (fn, args) reproducing one dispatched kernel call."""
     from vidseg_diffusion_tpu.ops import attention as A
+    from vidseg_diffusion_tpu.ops.temporal_conv import temporal_conv_1x1
+
+    dtype = jnp.bfloat16 if "bfloat16" in rec["dtype"] else jnp.float32
+    if rec["kind"] == "temporal_conv":
+        b, t, m, cin, kt, cout = (
+            rec["b"], rec["t"], rec["m"], rec["cin"], rec["kt"], rec["cout"]
+        )
+        x = jnp.zeros((b, t, m, cin), dtype)
+        w = jnp.zeros((kt, cin, cout), dtype)
+        bias = jnp.zeros((cout,), dtype)
+        return temporal_conv_1x1, (x, w, bias)
 
     b, lq, lk, h, d = rec["b"], rec["lq"], rec["lk"], rec["h"], rec["d"]
-    dtype = jnp.bfloat16 if "bfloat16" in rec["dtype"] else jnp.float32
     q = jnp.zeros((b, lq, h, d), dtype)
     k = jnp.zeros((b, lk, h, d), dtype)
     v = jnp.zeros((b, lk, h, d), dtype)
-
     if rec["kind"] == "small_batched":
         fn = lambda q, k, v: A.small_batched_attention(q, k, v, fold=rec["fold"])
     else:
         fn = lambda q, k, v: A.flash_attention_packed(
             q.reshape(b, lq, h * d), k.reshape(b, lk, h * d),
             v.reshape(b, lk, h * d), heads=h,
-        )
+        ).reshape(b, lq, h, d)
+    return fn, (q, k, v)
+
+
+def compile_kernel(rec, grad: bool = False) -> str:
+    """Compile one dispatched kernel shape standalone; returns status."""
+    fn, args = _kernel_fn_args(rec)
+    if grad:
+        scalar = lambda *a: fn(*a).astype(jnp.float32).sum()
+        run = jax.grad(scalar, argnums=tuple(range(len(args))))
+    else:
+        run = fn
     t0 = time.perf_counter()
     try:
-        jax.jit(fn).lower(q, k, v).compile()
+        jax.jit(run).lower(*args).compile()
         return f"ok ({time.perf_counter()-t0:.1f}s)"
     except Exception as e:  # noqa: BLE001 — triage wants the message, not a crash
-        return f"FAIL: {type(e).__name__}: {str(e)[:300]}"
-
-
-def grad_kernel(rec) -> str:
-    """Compile the VJP of one dispatched kernel shape standalone."""
-    from vidseg_diffusion_tpu.ops import attention as A
-
-    b, lq, lk, h, d = rec["b"], rec["lq"], rec["lk"], rec["h"], rec["d"]
-    dtype = jnp.bfloat16 if "bfloat16" in rec["dtype"] else jnp.float32
-    q = jnp.zeros((b, lq, h, d), dtype)
-    k = jnp.zeros((b, lk, h, d), dtype)
-    v = jnp.zeros((b, lk, h, d), dtype)
-
-    if rec["kind"] == "small_batched":
-        fn = lambda q, k, v: A.small_batched_attention(q, k, v, fold=rec["fold"]).astype(jnp.float32).sum()
-    else:
-        fn = lambda q, k, v: A.flash_attention_packed(
-            q.reshape(b, lq, h * d), k.reshape(b, lk, h * d),
-            v.reshape(b, lk, h * d), heads=h,
-        ).astype(jnp.float32).sum()
-    t0 = time.perf_counter()
-    try:
-        jax.jit(jax.grad(fn, argnums=(0, 1, 2))).lower(q, k, v).compile()
-        return f"ok ({time.perf_counter()-t0:.1f}s)"
-    except Exception as e:  # noqa: BLE001
         return f"FAIL: {type(e).__name__}: {str(e)[:300]}"
 
 
@@ -108,12 +103,14 @@ def main():
         for rec in seen.values():
             print(f"  {rec}", flush=True)
         # 2. compile each standalone — fwd and grad
+        def label(rec):
+            return " ".join(f"{k}={v}" for k, v in rec.items() if k != "dtype")
+
         for rec in seen.values():
-            print(f"fwd  {rec['kind']} b={rec['b']} lq={rec['lq']} lk={rec['lk']} "
-                  f"h={rec['h']} d={rec['d']}: {compile_kernel(rec)}", flush=True)
+            print(f"fwd  {label(rec)}: {compile_kernel(rec)}", flush=True)
         for rec in seen.values():
-            print(f"grad {rec['kind']} b={rec['b']} lq={rec['lq']} lk={rec['lk']} "
-                  f"h={rec['h']} d={rec['d']}: {grad_kernel(rec)}", flush=True)
+            print(f"grad {label(rec)}: {compile_kernel(rec, grad=True)}",
+                  flush=True)
         return
 
     remat = args.stage.endswith("1")

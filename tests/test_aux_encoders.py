@@ -143,6 +143,7 @@ def _write_yaml(tmp_path, emb, params):
     return str(p)
 
 
+@pytest.mark.slow  # ~80 s full-pipeline build; T5 numerics covered by test_t5_parity
 def test_build_pipeline_t5_conditioner(tmp_path):
     from vidseg_diffusion_tpu.engine.build import build_pipeline
 
@@ -161,6 +162,7 @@ def test_build_pipeline_t5_conditioner(tmp_path):
     assert np.isfinite(np.asarray(out["crossattn"])).all()
 
 
+@pytest.mark.slow  # ~50 s full-pipeline build; embedder covered by test_identity_and_class_embedder
 def test_build_pipeline_class_conditioner(tmp_path):
     from vidseg_diffusion_tpu.engine.build import build_pipeline
 

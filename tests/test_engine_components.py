@@ -215,6 +215,7 @@ class TestFirstStageChunking:
         dp = dec.init(jax.random.PRNGKey(1), jnp.ones((1, 8, 8, 2)))["params"]
         return FirstStage(enc, dec, ep, dp, scale_factor=0.5)
 
+    @pytest.mark.slow  # ~22 s: compiles a unique ragged-tail decode shape
     def test_ragged_chunk_matches_unchunked(self):
         """5 frames with chunk=2: the ragged tail runs at natural length
         like the reference's ceil loop (an assert used to crash any frame

@@ -73,6 +73,7 @@ def test_fid_f64_path_tight():
     assert got == pytest.approx(want, rel=1e-8, abs=1e-8)
 
 
+@pytest.mark.slow  # ~20 s CLIP build; FID math covered by the scipy-oracle tests
 def test_clip_fid_end_to_end():
     """CLIP-FID wired through the in-framework CLIP image tower (the FID
     consumer — the reference's InceptionV3 extractor wraps absent

@@ -109,6 +109,7 @@ def test_fsdp_step_matches_replicated():
     # state stayed sharded through the step
     assert p_s["conv"]["kernel"].sharding.spec == P(None, None, None, "data")
 
+@pytest.mark.slow  # ~2 min CPU; test_fsdp_step_matches_replicated covers FSDP in default
 def test_fsdp_unet_train_step():
     """FSDP over the real (tiny) UNet + optax adam: params/opt-state stay
     sharded through a remat'd diffusion train step on the 8-device mesh."""

@@ -104,12 +104,17 @@ def test_image_to_video(svd_api):
 
 
 def test_image_to_video_rejects_image_pipeline():
-    from vidseg_diffusion_tpu.engine.build import build_pipeline
+    # The guard only inspects spec.unet_config.video, so a structural stub
+    # suffices — a full sd_tiny build cost ~60 s of CPU compile here.
+    from types import SimpleNamespace
+
     from vidseg_diffusion_tpu.inference.api import SamplingPipeline
 
-    api = SamplingPipeline(
-        build_pipeline("configs/inference/sd_tiny.yaml", num_steps=2)
+    stub = SimpleNamespace(
+        spec=SimpleNamespace(unet_config=SimpleNamespace(video=False)),
+        conditioner=None,
     )
+    api = SamplingPipeline(stub)
     params = VideoSamplingParams(width=32, height=32, num_frames=2, steps=2)
     img = np.zeros((1, 32, 32, 3), np.float32)
     with pytest.raises(ValueError, match="video"):

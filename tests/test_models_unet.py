@@ -289,6 +289,7 @@ class TestModulationArithmetic:
         np.testing.assert_allclose(got[:L], got[L:])
 
 
+@pytest.mark.slow  # ~35 s; regression for the depth>=2 NameInUseError fix
 def test_video_transformer_depth_two():
     """depth >= 2 constructs the shared time_mixer once (per-depth
     construction with a fixed name raised flax NameInUseError)."""

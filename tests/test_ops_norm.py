@@ -69,6 +69,7 @@ def test_dispatcher_torch_semantics():
     np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow  # ~11 s; split mode is quarantined (XLA fused stats won in-model)
 def test_group_norm_split_matches_reference():
     """Split mode (Pallas stats + XLA apply): same math as the reference at
     fp32-stats tolerance, any rank, with and without the fused SiLU."""

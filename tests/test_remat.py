@@ -72,6 +72,7 @@ def test_remat_param_tree_unchanged():
     assert p == r
 
 
+@pytest.mark.slow  # ~95 s CPU grads; test_remat_train_step_runs covers remat in default
 def test_remat_grads_match_image_unet():
     v0, g0 = _params_and_grads(video=False, remat=False)
     v1, g1 = _params_and_grads(video=False, remat=True)
@@ -97,6 +98,7 @@ def test_remat_grads_match_video_unet():
     )
 
 
+@pytest.mark.slow  # ~60 s CPU; harvest-under-remat parity combo
 def test_remat_harvest_sow_identical():
     """Reference YAMLs ship use_checkpoint: True, so the VidSeg harvest
     (sow into 'intermediates') must survive remat'd blocks bit-for-bit."""

@@ -23,6 +23,7 @@ from vidseg_diffusion_tpu.diffusion import Denoiser, EpsScaling
 
 
 class TestLPIPSModules:
+    @pytest.mark.slow  # ~19 s VGG build; test_lpips_loss_type covers LPIPS in default
     def test_lpips_zero_for_identical(self):
         m = LPIPS()
         x = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3)) * 2 - 1
