@@ -78,6 +78,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", default="kernels",
                     choices=["kernels", "fwd0", "fwd1", "step0", "step1"])
+    ap.add_argument("--xla", action="store_true",
+                    help="disable every Pallas kernel (attention -> jnp "
+                         "reference, temporal conv -> XLA) to split "
+                         "'custom calls crash the helper' from 'the base "
+                         "program crashes the helper'")
     args = ap.parse_args()
 
     os.makedirs(".jax_cache", exist_ok=True)
@@ -86,6 +91,14 @@ def main():
     print("backend:", jax.default_backend(), flush=True)
 
     from vidseg_diffusion_tpu.ops import attention as A
+
+    if args.xla:
+        from vidseg_diffusion_tpu.ops import temporal_conv as TC
+
+        A._FLASH_MIN_SEQ = 1 << 30   # flash never triggers
+        A._SMALL_MIN_ROWS = 1 << 30  # small-batched never triggers
+        TC.use_pallas_temporal_conv = lambda *a, **k: False
+        print("pallas kernels DISABLED (pure-XLA program)", flush=True)
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from train_bench import build_train  # noqa: E402 — sibling script
