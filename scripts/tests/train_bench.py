@@ -29,12 +29,14 @@ import jax
 import jax.numpy as jnp
 
 
-def build_train(remat: bool = True, t: int = 14, h: int = 56, w: int = 104):
+def build_train(remat: bool = True, t: int = 14, h: int = 56, w: int = 104,
+                n_videos: int = 1):
     """Build the swan-shape training fwd/step closures + synthetic state.
 
     Returns dict(fwd=, step=, params=, rng=, batch=, n_params=). fwd/step
     are UNJITTED python callables closing over the module; jit at the call
-    site so triage can .lower() them.
+    site so triage can .lower() them. n_videos stacks videos along batch
+    (UNet batch = n_videos*t, the same axis CFG doubles at inference).
     """
     import numpy as np
 
@@ -103,18 +105,19 @@ def build_train(remat: bool = True, t: int = 14, h: int = 56, w: int = 104):
         return network
 
     rng = jax.random.PRNGKey(7)
+    bsz = n_videos * t
     batch = jax.random.normal(
-        jax.random.fold_in(rng, 1), (t, h, w, 4), jnp.bfloat16
+        jax.random.fold_in(rng, 1), (bsz, h, w, 4), jnp.bfloat16
     )
     cond = {
         "crossattn": jax.random.normal(
-            jax.random.fold_in(rng, 2), (t, 1, 1024), jnp.bfloat16
+            jax.random.fold_in(rng, 2), (bsz, 1, 1024), jnp.bfloat16
         ),
         "vector": jax.random.normal(
-            jax.random.fold_in(rng, 3), (t, 768), jnp.bfloat16
+            jax.random.fold_in(rng, 3), (bsz, 768), jnp.bfloat16
         ),
         "concat": jax.random.normal(
-            jax.random.fold_in(rng, 4), (t, h, w, 4), jnp.bfloat16
+            jax.random.fold_in(rng, 4), (bsz, h, w, 4), jnp.bfloat16
         ),
     }
 
@@ -135,6 +138,9 @@ def build_train(remat: bool = True, t: int = 14, h: int = 56, w: int = 104):
     return dict(
         fwd=fwd, step=step, params=params, rng=rng, batch=batch,
         n_params=n_params, shape=(t, h, w),
+        # exposed for train_triage bisection stages
+        unet=unet, cond=cond, loss_mod=loss_mod,
+        network_factory=network_factory,
     )
 
 
@@ -142,6 +148,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--remat", type=int, default=1)
+    ap.add_argument("--videos", type=int, default=1,
+                    help="videos stacked along batch (UNet batch=videos*14)")
     ap.add_argument("--out", default="BENCH_TRAIN.json")
     args = ap.parse_args()
 
@@ -151,7 +159,7 @@ def main():
 
     import numpy as np
 
-    built = build_train(remat=bool(args.remat))
+    built = build_train(remat=bool(args.remat), n_videos=args.videos)
     t, h, w = built["shape"]
     print(
         f"params: {built['n_params']/1e9:.2f}B bf16 (remat={bool(args.remat)})",
@@ -198,7 +206,7 @@ def main():
     step_s = timed(step_chain, state, "step")
 
     result = {
-        "shape": f"[{t},{h},{w}] bf16 swan latents, "
+        "shape": f"[{args.videos}x{t},{h},{w}] bf16 swan latents, "
                  f"{'remat' if args.remat else 'no-remat'} 1.52B VideoUNet",
         "fwd_ms": round(fwd_s * 1e3, 1),
         "step_ms": round(step_s * 1e3, 1),

@@ -77,7 +77,12 @@ def compile_kernel(rec, grad: bool = False) -> str:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", default="kernels",
-                    choices=["kernels", "fwd0", "fwd1", "step0", "step1"])
+                    choices=["kernels", "fwd0", "fwd1", "step0", "step1",
+                             "unet0", "unet1", "noloss0"])
+    ap.add_argument("--videos", type=int, default=1,
+                    help="videos stacked along batch (b=videos*14; the bench "
+                         "inference program compiles at b=28, b=14 SIGSEGVs "
+                         "the compile helper)")
     ap.add_argument("--xla", action="store_true",
                     help="disable every Pallas kernel (attention -> jnp "
                          "reference, temporal conv -> XLA) to split "
@@ -127,9 +132,36 @@ def main():
         return
 
     remat = args.stage.endswith("1")
-    built = build_train(remat=remat)
-    fn = built["fwd"] if args.stage.startswith("fwd") else built["step"]
-    name = f"{'fwd' if args.stage.startswith('fwd') else 'step'}(remat={remat})"
+    built = build_train(remat=remat, n_videos=args.videos)
+    if args.stage.startswith("unet"):
+        # bare UNet apply at the exact train shapes: no loss module, no rng
+        net_of = built["network_factory"]
+        cond = built["cond"]
+        sigma = jnp.full((built["batch"].shape[0],), 0.25, jnp.float32)
+
+        def fn(p, rng, batch):
+            del rng
+            return net_of(p)(batch, sigma, cond).astype(jnp.float32).mean()
+
+    elif args.stage == "noloss0":
+        # denoiser + UNet but fixed sigma (no rng/sigma-sampler machinery)
+        from vidseg_diffusion_tpu.utils import append_dims
+
+        loss_mod, net_of = built["loss_mod"], built["network_factory"]
+        cond = built["cond"]
+
+        def fn(p, rng, batch):
+            del rng
+            sigma = jnp.full((batch.shape[0],), 0.7, batch.dtype)
+            noised = batch + 0.1 * append_dims(sigma, batch.ndim)
+            pred = loss_mod.denoiser(net_of(p), noised, sigma, cond)
+            return jnp.mean((pred - batch).astype(jnp.float32) ** 2)
+
+    elif args.stage.startswith("fwd"):
+        fn = built["fwd"]
+    else:
+        fn = built["step"]
+    name = f"{args.stage}(remat={remat})"
     t0 = time.perf_counter()
     try:
         jax.jit(fn).lower(built["params"], built["rng"], built["batch"]).compile()
