@@ -90,19 +90,35 @@ def build_train(remat: bool = True, t: int = 14, h: int = 56, w: int = 104,
         sigma_sampler=EDMSigmaSampling(),
     )
 
-    def network_factory(p):
-        def network(xs, c_noise, cond_d):
-            xs = jnp.concatenate([xs, cond_d["concat"].astype(xs.dtype)], -1)
-            return unet.apply(
-                {"params": p}, xs, c_noise,
-                cond_d["crossattn"], cond_d["vector"],
-                num_video_frames=t,
-                image_only_indicator=jnp.zeros(
-                    (xs.shape[0] // t, t), jnp.bfloat16
-                ),
-            )
+    # the param tree is remat-invariant, so a second module instance lets
+    # callers time the barrier-free (no-remat) forward on the same params
+    import dataclasses
 
-        return network
+    unet_noremat = unet if not remat else UNetModel(
+        dataclasses.replace(cfg, remat=False)
+    )
+
+    def _factory(module):
+        def network_factory(p):
+            def network(xs, c_noise, cond_d):
+                xs = jnp.concatenate(
+                    [xs, cond_d["concat"].astype(xs.dtype)], -1
+                )
+                return module.apply(
+                    {"params": p}, xs, c_noise,
+                    cond_d["crossattn"], cond_d["vector"],
+                    num_video_frames=t,
+                    image_only_indicator=jnp.zeros(
+                        (xs.shape[0] // t, t), jnp.bfloat16
+                    ),
+                )
+
+            return network
+
+        return network_factory
+
+    network_factory = _factory(unet)
+    network_factory_noremat = _factory(unet_noremat)
 
     rng = jax.random.PRNGKey(7)
     bsz = n_videos * t
@@ -127,6 +143,10 @@ def build_train(remat: bool = True, t: int = 14, h: int = 56, w: int = 104,
         loss = loss_mod(network_factory(p), rng, batch, cond)
         return loss, batch + loss.astype(batch.dtype) * 1e-6
 
+    def fwd_noremat(p, rng, batch):
+        loss = loss_mod(network_factory_noremat(p), rng, batch, cond)
+        return loss, batch + loss.astype(batch.dtype) * 1e-6
+
     def step(p, rng, batch):
         def loss_fn(p):
             return loss_mod(network_factory(p), rng, batch, cond)
@@ -136,11 +156,12 @@ def build_train(remat: bool = True, t: int = 14, h: int = 56, w: int = 104,
         return p, loss, batch + loss.astype(batch.dtype) * 1e-6
 
     return dict(
-        fwd=fwd, step=step, params=params, rng=rng, batch=batch,
-        n_params=n_params, shape=(t, h, w),
+        fwd=fwd, fwd_noremat=fwd_noremat, step=step, params=params, rng=rng,
+        batch=batch, n_params=n_params, shape=(t, h, w),
         # exposed for train_triage bisection stages
         unet=unet, cond=cond, loss_mod=loss_mod,
         network_factory=network_factory,
+        network_factory_noremat=network_factory_noremat,
     )
 
 
@@ -166,7 +187,10 @@ def main():
         flush=True,
     )
     fwd = jax.jit(built["fwd"])
-    step = jax.jit(built["step"])
+    fwd_nr = jax.jit(built["fwd_noremat"])
+    # donate params: without it the step holds old + new params (2 x 3 GB)
+    # next to grads and remat activations and OOMs 16 GB HBM at b=28
+    step = jax.jit(built["step"], donate_argnums=(0,))
     params, rng, batch = built["params"], built["rng"], built["batch"]
 
     def fetch(a):
@@ -195,7 +219,14 @@ def main():
         _, b2 = fwd(p, r, b)
         return p, r, b2
 
-    fwd_s = timed(fwd_chain, state, "fwd")
+    def fwd_nr_chain(p, r, b):
+        _, b2 = fwd_nr(p, r, b)
+        return p, r, b2
+
+    fwd_s = timed(fwd_chain, state, "fwd(remat)" if args.remat else "fwd")
+    fwd_nr_s = (
+        timed(fwd_nr_chain, state, "fwd(no-remat)") if args.remat else fwd_s
+    )
 
     print("compiling train step (value_and_grad, remat backward)...", flush=True)
 
@@ -208,9 +239,11 @@ def main():
     result = {
         "shape": f"[{args.videos}x{t},{h},{w}] bf16 swan latents, "
                  f"{'remat' if args.remat else 'no-remat'} 1.52B VideoUNet",
-        "fwd_ms": round(fwd_s * 1e3, 1),
+        "fwd_ms": round(fwd_nr_s * 1e3, 1),
+        "fwd_remat_ms": round(fwd_s * 1e3, 1),
         "step_ms": round(step_s * 1e3, 1),
-        "bwd_fwd_ratio": round((step_s - fwd_s) / fwd_s, 2),
+        # ratio vs the barrier-free forward — the inference/production fwd
+        "bwd_fwd_ratio": round((step_s - fwd_nr_s) / fwd_nr_s, 2),
     }
     print(json.dumps(result))
     with open(args.out, "w") as f:
