@@ -97,6 +97,34 @@ def test_flash_packed_grads():
     _check(got, want, atol=1e-3)
 
 
+def test_flash_packed_grads_pallas_bwd(monkeypatch):
+    """The fused Pallas backward (dq + dkv kernels, p recomputed from the
+    saved base-2 LSE) must match the dense reference VJP — including a
+    non-block-aligned Lq/Lk so both the padded-query and masked-key-tail
+    paths run (block_q/block_k floor at 128; L=200 pads to 256)."""
+    monkeypatch.setenv("VIDSEG_PALLAS_ATTN_BWD", "1")
+    k = jax.random.PRNGKey(6)
+    for l in (128, 200):
+        b, h, d = 2, 2, 32
+        q = jax.random.normal(k, (b, l, h * d))
+        kk = jax.random.normal(jax.random.fold_in(k, 1), (b, l, h * d))
+        v = jax.random.normal(jax.random.fold_in(k, 2), (b, l, h * d))
+        got = _grads(
+            lambda *a: flash_attention_packed(*a, heads=h, interpret=True),
+            q, kk, v,
+        )
+
+        def ref(q_, k_, v_, l=l):
+            out = mha_reference(
+                q_.reshape(b, l, h, d), k_.reshape(b, l, h, d),
+                v_.reshape(b, l, h, d), layout="blhd",
+            )
+            return out.reshape(b, l, h * d)
+
+        want = _grads(ref, q, kk, v)
+        _check(got, want, atol=1e-3)
+
+
 def test_small_batched_grads():
     k = jax.random.PRNGKey(5)
     q = jax.random.normal(k, (6, 14, 2, 32))
@@ -109,6 +137,27 @@ def test_small_batched_grads():
         lambda q_, k_, v_: mha_reference(q_, k_, v_, layout="blhd"), q, kk, v
     )
     _check(got, want, atol=1e-3)
+
+
+def test_small_batched_grads_pallas_bwd(monkeypatch):
+    """Single-kernel folded Pallas backward (softmax recomputed in-tile,
+    cross-problem entries masked) must match the dense reference VJP,
+    including cross-attention shape lq != lk."""
+    monkeypatch.setenv("VIDSEG_PALLAS_ATTN_BWD", "1")
+    k = jax.random.PRNGKey(7)
+    for lq, lk in ((14, 14), (14, 5)):
+        q = jax.random.normal(k, (6, lq, 2, 32))
+        kk = jax.random.normal(jax.random.fold_in(k, 1), (6, lk, 2, 32))
+        v = jax.random.normal(jax.random.fold_in(k, 2), (6, lk, 2, 32))
+        got = _grads(
+            lambda *a: small_batched_attention(*a, fold=2, interpret=True),
+            q, kk, v,
+        )
+        want = _grads(
+            lambda q_, k_, v_: mha_reference(q_, k_, v_, layout="blhd"),
+            q, kk, v,
+        )
+        _check(got, want, atol=1e-3)
 
 
 def test_grad_through_cross_attention_forced_dispatch():

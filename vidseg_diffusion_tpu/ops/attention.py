@@ -319,8 +319,8 @@ def _flash_attention_impl(
     return out[:, :lq, :d].reshape(b, h, lq, d)
 
 
-def _flash_kernel_packed(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
-                         kv_len, block_k, heads, d):
+def _flash_kernel_packed(q_ref, k_ref, v_ref, o_ref, *rest, kv_len, block_k,
+                         heads, d, save_lse=False):
     """All-heads flash tile on PACKED [bq, H·D] blocks.
 
     Consumes the q/k/v projections in their matmul-native [B, L, H·D]
@@ -328,7 +328,16 @@ def _flash_kernel_packed(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
     projections and the kernel. Each program processes every head of one
     (q-block, k-block) tile: per head, a 64-lane slice of the packed block
     feeds the usual online-softmax update; accumulators pack the same way.
-    m/l scratch is [bq, heads]."""
+    m/l scratch is [bq, heads].
+
+    save_lse (training forward): also writes the per-row base-2 logsumexp
+    `m + log2(l)` of the PRESCALED logits to a second [bq, heads] f32
+    output — the Pallas backward kernels recompute p = exp2(s2 - lse) from
+    it without re-running the online softmax."""
+    if save_lse:
+        lse_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        acc_ref, m_ref, l_ref = rest
     kb = pl.program_id(2)
     nkb = pl.num_programs(2)
 
@@ -384,6 +393,8 @@ def _flash_kernel_packed(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
                     preferred_element_type=jnp.float32,
                 )
             o_ref[0, :, sl] = (pv / psum).astype(o_ref.dtype)
+            if save_lse:
+                lse_ref[0, :, hh:hh + 1] = m_cur + jnp.log2(psum)
         else:
             m_next = jnp.maximum(m_prev, m_cur)
             p = jnp.exp2(s - m_next)
@@ -409,10 +420,16 @@ def _flash_kernel_packed(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
                 o_ref[0, :, sl] = (
                     acc_ref[:, sl] / l_ref[:, hh:hh + 1]
                 ).astype(o_ref.dtype)
+                if save_lse:
+                    lse_ref[0, :, hh:hh + 1] = (
+                        m_ref[:, hh:hh + 1] + jnp.log2(l_ref[:, hh:hh + 1])
+                    )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("heads", "scale", "block_q", "block_k", "interpret")
+    jax.jit,
+    static_argnames=("heads", "scale", "block_q", "block_k", "interpret",
+                     "save_lse"),
 )
 def _flash_attention_packed_impl(
     q: jax.Array,   # [B, L, H*D]
@@ -423,6 +440,7 @@ def _flash_attention_packed_impl(
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
     interpret: bool = False,
+    save_lse: bool = False,
 ) -> jax.Array:
     """Flash attention on packed [B, L, H·D] projections (zero relayout).
 
@@ -482,9 +500,23 @@ def _flash_attention_packed_impl(
         vf = jnp.pad(vf, ((0, 0), (0, lk_pad - lk), (0, 0)))
 
     grid = (b, lq_pad // block_q, lk_pad // block_k)
-    out = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((b, lq_pad, hd), q.dtype)]
+    out_specs = [
+        pl.BlockSpec((1, block_q, hd), lambda bb, qb, kb: (bb, qb, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if save_lse:
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, lq_pad, heads), jnp.float32)
+        )
+        out_specs.append(
+            pl.BlockSpec((1, block_q, heads), lambda bb, qb, kb: (bb, qb, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    res = pl.pallas_call(
         functools.partial(
-            _flash_kernel_packed, kv_len=lk, block_k=block_k, heads=heads, d=d
+            _flash_kernel_packed, kv_len=lk, block_k=block_k, heads=heads,
+            d=d, save_lse=save_lse,
         ),
         grid=grid,
         in_specs=[
@@ -495,9 +527,8 @@ def _flash_attention_packed_impl(
             pl.BlockSpec((1, block_k, hd), lambda bb, qb, kb: (bb, kb, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, hd), lambda bb, qb, kb: (bb, qb, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, lq_pad, hd), q.dtype),
+        out_specs=out_specs if save_lse else out_specs[0],
+        out_shape=out_shape if save_lse else out_shape[0],
         scratch_shapes=[
             pltpu.VMEM((block_q, hd), jnp.float32),
             pltpu.VMEM((block_q, heads), jnp.float32),
@@ -509,7 +540,10 @@ def _flash_attention_packed_impl(
         ),
         interpret=interpret,
     )(qf, kf, vf)
-    return out[:, :lq]
+    if save_lse:
+        out, lse = res
+        return out[:, :lq], lse[:, :lq]
+    return res[:, :lq]
 
 
 def _small_seq_kernel(q_ref, k_ref, v_ref, o_ref, *, lq, lk, heads, d, fold):
@@ -651,10 +685,11 @@ _SMALL_MIN_ROWS = 112
 
 # ---------------------------------------------------------------------------
 # Reverse-mode AD for the Pallas kernels. pallas_call supports only forward
-# evaluation; these custom_vjp wrappers run the kernel forward and use the
-# memory-efficient chunked backward (_attention_bwd_chunked) — the [Lq, Lk]
+# evaluation; these custom_vjp wrappers run the kernel forward and use either
+# the memory-efficient chunked jnp backward (_attention_bwd_chunked) or, for
+# the packed kernel, the fused Pallas backward below — in both, the [Lq, Lk]
 # logits are never materialized, so training fits HBM at the same shapes
-# the forward kernel exists for. A fused Pallas backward is future work.
+# the forward kernel exists for.
 # ---------------------------------------------------------------------------
 
 
@@ -724,6 +759,391 @@ def _attention_bwd_chunked(q, k, v, out, g, scale,
     return dq, dk, dv
 
 
+# ---------------------------------------------------------------------------
+# Pallas flash backward (packed layout). Standard flash-attention reverse
+# pass split into two kernels so every output has exactly one writer program
+# (no cross-program accumulation): dq iterates k-blocks innermost, dk/dv
+# iterates q-blocks innermost. Both recompute one [bq, bk] logits tile at a
+# time from the saved base-2 LSE — p = exp2(s2 - lse) — so the [Lq, Lk]
+# weights never touch HBM, and q/k/v/g stream in their packed [B, L, H·D]
+# projection layout (zero relayout, same as the forward kernel).
+# ---------------------------------------------------------------------------
+
+
+def _flash_packed_bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                                dq_ref, acc_ref, *, kv_len, block_k, heads, d,
+                                scale):
+    """dq = scale · Σ_k ds·k, ds = p ∘ (g·vᵀ − delta), p = exp2(s2 − lse).
+
+    q_ref holds the PRESCALED qf = q·scale·log2e (same prescale as the
+    forward), so s2 = qf·kᵀ matches the saved lse's logit space exactly."""
+    kb = pl.program_id(2)
+    nkb = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    qf = q_ref[0]   # [bq, H·D] prescaled
+    kk = k_ref[0]   # [bk, H·D]
+    vv = v_ref[0]
+    gg = g_ref[0]   # [bq, H·D]
+    for hh in range(heads):
+        sl = slice(hh * d, (hh + 1) * d)
+        s2 = jax.lax.dot_general(
+            qf[:, sl], kk[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bq, bk] f32, base-2 logit space
+        if kv_len % block_k != 0:
+            # padded tail keys would otherwise contribute p=exp2(0-lse)>0
+            k_ids = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, s2.shape, 1
+            )
+            s2 = jnp.where(
+                jnp.logical_or(kb != nkb - 1, k_ids < kv_len),
+                s2, DEFAULT_MASK_VALUE,
+            )
+        p = jnp.exp2(s2 - lse_ref[0, :, hh:hh + 1])
+        dp = jax.lax.dot_general(
+            gg[:, sl], vv[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta_ref[0, :, hh:hh + 1])
+        acc_ref[:, sl] = acc_ref[:, sl] + jax.lax.dot_general(
+            ds.astype(kk.dtype), kk[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(kb == nkb - 1)
+    def _finalize():
+        dq_ref[0] = (acc_ref[:] * scale).astype(dq_ref.dtype)
+
+
+def _flash_packed_bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref,
+                                 delta_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
+                                 heads, d):
+    """dv = Σ_q pᵀ·g; dk = (Σ_q dsᵀ·qf) / log2e (qf carries scale·log2e).
+
+    No key-tail masking: padded key rows only produce dk/dv rows that the
+    caller slices away; padded q rows carry zero g (and finite lse, since
+    padded q is zero not -inf), so ds and the dv contribution vanish."""
+    qb = pl.program_id(2)
+    nqb = pl.num_programs(2)
+
+    @pl.when(qb == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    qf = q_ref[0]
+    kk = k_ref[0]
+    vv = v_ref[0]
+    gg = g_ref[0]
+    for hh in range(heads):
+        sl = slice(hh * d, (hh + 1) * d)
+        s2 = jax.lax.dot_general(
+            qf[:, sl], kk[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bq, bk]
+        p = jnp.exp2(s2 - lse_ref[0, :, hh:hh + 1])
+        dv_acc[:, sl] = dv_acc[:, sl] + jax.lax.dot_general(
+            p.astype(gg.dtype), gg[:, sl], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bk, d]
+        dp = jax.lax.dot_general(
+            gg[:, sl], vv[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta_ref[0, :, hh:hh + 1])
+        dk_acc[:, sl] = dk_acc[:, sl] + jax.lax.dot_general(
+            ds.astype(qf.dtype), qf[:, sl], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(qb == nqb - 1)
+    def _finalize():
+        dk_ref[0] = (dk_acc[:] * (1.0 / _LOG2_E)).astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "scale", "block_q", "block_k", "interpret"),
+)
+def _flash_attention_packed_bwd_impl(
+    q: jax.Array,    # [B, Lq, H·D]
+    k: jax.Array,    # [B, Lk, H·D]
+    v: jax.Array,
+    out: jax.Array,  # [B, Lq, H·D]
+    lse: jax.Array,  # [B, Lq, H] f32, base-2 (from the save_lse forward)
+    g: jax.Array,    # [B, Lq, H·D]
+    heads: int,
+    scale: Optional[float] = None,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
+    interpret: bool = False,
+):
+    """Launch the dq and dkv Pallas kernels; returns (dq, dk, dv) in the
+    packed layout. delta = rowsum(g ∘ out) per head is a cheap fused jnp
+    reduce; everything else runs in VMEM."""
+    b, lq, hd = q.shape
+    lk = k.shape[1]
+    d = hd // heads
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+
+    if block_q is None:
+        block_q = max(
+            (c for c in range(256, 520, 8) if lq % c == 0), default=512
+        )
+    if block_k is None:
+        block_k = max(
+            (c for c in range(256, 1032, 8) if lk % c == 0), default=512
+        )
+    block_q = min(block_q, _round_up(lq, 128))
+    block_k = min(block_k, _round_up(lk, 128))
+
+    in_bytes = q.dtype.itemsize
+    lanes = _round_up(hd, 128)
+
+    def vmem_bytes(bq, bk):
+        # dkv is the heavier program: qf/g [bq] + k/v [bk] + dk/dv out [bk]
+        # blocks double-buffered, lse/delta [bq, lanes-padded-H] f32, two
+        # [bk, H·D] f32 accumulators, and per-head f32 s2/p/dp/ds tiles
+        # (+ their bf16 casts), ×1.5 for Mosaic pipelining of the heads loop
+        io = 2 * (
+            (2 * bq + 4 * bk) * lanes * in_bytes + 2 * bq * 128 * 4
+        )
+        accs = 2 * bk * lanes * 4
+        cells = bq * bk * (4 * 4 + 2 * in_bytes)
+        return io + accs + int(cells * 1.5)
+
+    budget = 14 * 1024 * 1024
+    if vmem_bytes(block_q, block_k) > budget:
+        fits = [
+            c for c in range(128, block_k + 1, 8)
+            if vmem_bytes(block_q, c) <= budget
+        ]
+        divs = [c for c in fits if lk % c == 0]
+        block_k = max(divs or fits or [128])
+    while vmem_bytes(block_q, block_k) > budget and block_q > 128:
+        block_q = max(128, block_q // 2)
+
+    lq_pad = _round_up(lq, block_q)
+    lk_pad = _round_up(lk, block_k)
+
+    f32 = jnp.float32
+    delta = (g.astype(f32) * out.astype(f32)).reshape(
+        b, lq, heads, d
+    ).sum(-1)                                           # [B, Lq, H]
+    qf = q * jnp.asarray(scale * _LOG2_E, q.dtype)      # forward's prescale
+    gf = g.astype(q.dtype)
+    lsef = lse
+    if lq_pad != lq:
+        pad = ((0, 0), (0, lq_pad - lq), (0, 0))
+        qf, gf = jnp.pad(qf, pad), jnp.pad(gf, pad)
+        lsef, delta = jnp.pad(lsef, pad), jnp.pad(delta, pad)
+    kf, vf = k, v
+    if lk_pad != lk:
+        pad = ((0, 0), (0, lk_pad - lk), (0, 0))
+        kf, vf = jnp.pad(k, pad), jnp.pad(v, pad)
+
+    nqb, nkb = lq_pad // block_q, lk_pad // block_k
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _flash_packed_bwd_dq_kernel, kv_len=lk, block_k=block_k,
+            heads=heads, d=d, scale=scale,
+        ),
+        grid=(b, nqb, nkb),
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda bb, qb, kb: (bb, qb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, hd), lambda bb, qb, kb: (bb, kb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, hd), lambda bb, qb, kb: (bb, kb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, hd), lambda bb, qb, kb: (bb, qb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, heads), lambda bb, qb, kb: (bb, qb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, heads), lambda bb, qb, kb: (bb, qb, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd),
+                               lambda bb, qb, kb: (bb, qb, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, lq_pad, hd), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, hd), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_KERNEL_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, gf, lsef, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_packed_bwd_dkv_kernel, heads=heads, d=d,
+        ),
+        grid=(b, nkb, nqb),
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda bb, kb, qb: (bb, qb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, hd), lambda bb, kb, qb: (bb, kb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, hd), lambda bb, kb, qb: (bb, kb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, hd), lambda bb, kb, qb: (bb, qb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, heads), lambda bb, kb, qb: (bb, qb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, heads), lambda bb, kb, qb: (bb, qb, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, hd), lambda bb, kb, qb: (bb, kb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, hd), lambda bb, kb, qb: (bb, kb, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, lk_pad, hd), k.dtype),
+            jax.ShapeDtypeStruct((b, lk_pad, hd), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, hd), jnp.float32),
+            pltpu.VMEM((block_k, hd), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_KERNEL_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, gf, lsef, delta)
+
+    return dq[:, :lq], dk[:, :lk], dv[:, :lk]
+
+
+def _small_seq_bwd_kernel(q_ref, k_ref, v_ref, g_ref, o_ref,
+                          dq_ref, dk_ref, dv_ref, *, lq, lk, heads, d, fold,
+                          scale):
+    """Fused dq/dk/dv for `fold` tiny attention problems in one tile.
+
+    Each program owns its problems outright (no cross-program accumulation),
+    so the whole backward is a single kernel: recompute the block-diagonal
+    softmax exactly as the forward does (penalty mask → cross-problem p
+    underflows to 0, hence ds = 0 there and the three grads stay exact),
+    then the standard ds = p ∘ (g·vᵀ − rowsum(g∘out)) reverse pass. The jnp
+    chunked backward at these shapes materializes [B·H, t, t] f32 logits
+    lane-padded t=14 → 128 in HBM (~10× traffic); here they never leave
+    VMEM. q_ref is PRESCALED by scale·log2e (forward convention)."""
+    qf = q_ref[0]   # [fold·lq, H·D]
+    kk = k_ref[0]   # [fold·lk, H·D]
+    vv = v_ref[0]
+    gg = g_ref[0]   # [fold·lq, H·D]
+    oo = o_ref[0]
+    rows, cols = fold * lq, fold * lk
+    qg = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) // lq
+    kg = jax.lax.broadcasted_iota(jnp.int32, (1, cols), 1) // lk
+    pen = jnp.where(qg == kg, 0.0, DEFAULT_MASK_VALUE)
+    f32 = jnp.float32
+    for hh in range(heads):
+        sl = slice(hh * d, (hh + 1) * d)
+        s2 = jax.lax.dot_general(
+            qf[:, sl], kk[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        ) + pen
+        m = jnp.max(s2, axis=-1, keepdims=True)
+        e = jnp.exp2(s2 - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)   # true softmax weights
+        delta = jnp.sum(
+            gg[:, sl].astype(f32) * oo[:, sl].astype(f32),
+            axis=-1, keepdims=True,
+        )
+        dp = jax.lax.dot_general(
+            gg[:, sl], vv[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        ds = p * (dp - delta)
+        dv_ref[0, :, sl] = jax.lax.dot_general(
+            p.astype(gg.dtype), gg[:, sl], (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ).astype(dv_ref.dtype)
+        dk_ref[0, :, sl] = (jax.lax.dot_general(
+            ds.astype(qf.dtype), qf[:, sl], (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ) * (1.0 / _LOG2_E)).astype(dk_ref.dtype)
+        dq_ref[0, :, sl] = (jax.lax.dot_general(
+            ds.astype(kk.dtype), kk[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ) * scale).astype(dq_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "fold", "interpret"))
+def _small_batched_attention_bwd_impl(
+    q: jax.Array,    # [B, Lq, H, D]
+    k: jax.Array,    # [B, Lk, H, D]
+    v: jax.Array,
+    out: jax.Array,  # [B, Lq, H, D]
+    g: jax.Array,
+    scale: Optional[float] = None,
+    fold: Optional[int] = None,
+    interpret: bool = False,
+):
+    """Single-kernel folded backward for the tiny-seq batched kernel."""
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if fold is None:
+        fold = _best_fold(b, lq, lk, h * d, q.dtype.itemsize)
+    assert b % fold == 0, (b, fold)
+    hd = h * d
+    qf = (q * jnp.asarray(scale * _LOG2_E, q.dtype)).reshape(
+        b // fold, fold * lq, hd
+    )
+    kf = k.reshape(b // fold, fold * lk, hd)
+    vf = v.reshape(b // fold, fold * lk, hd)
+    gf = g.astype(q.dtype).reshape(b // fold, fold * lq, hd)
+    of = out.reshape(b // fold, fold * lq, hd)
+    row_spec = pl.BlockSpec((1, fold * lq, hd), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((1, fold * lk, hd), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _small_seq_bwd_kernel, lq=lq, lk=lk, heads=h, d=d, fold=fold,
+            scale=scale,
+        ),
+        grid=(b // fold,),
+        in_specs=[row_spec, col_spec, col_spec, row_spec, row_spec],
+        out_specs=[row_spec, col_spec, col_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b // fold, fold * lq, hd), q.dtype),
+            jax.ShapeDtypeStruct((b // fold, fold * lk, hd), k.dtype),
+            jax.ShapeDtypeStruct((b // fold, fold * lk, hd), v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=_KERNEL_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, gf, of)
+    return (
+        dq.reshape(b, lq, h, d),
+        dk.reshape(b, lk, h, d),
+        dv.reshape(b, lk, h, d),
+    )
+
+
+def _use_pallas_attn_bwd() -> bool:
+    """Packed-flash Pallas backward switch (read per trace so tests can
+    monkeypatch). Default OFF until measured in-model on hardware — the
+    BENCH_r03 lesson: no unmeasured default-ON kernels."""
+    return _os.environ.get("VIDSEG_PALLAS_ATTN_BWD", "0") == "1"
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
 def _fa(scale, block_q, block_k, interpret, layout, q, k, v):
     return _flash_attention_impl(
@@ -772,16 +1192,29 @@ def _fap(heads, scale, block_q, block_k, interpret, q, k, v):
 
 
 def _fap_fwd(heads, scale, block_q, block_k, interpret, q, k, v):
-    out = _fap(heads, scale, block_q, block_k, interpret, q, k, v)
-    return out, (q, k, v, out)
+    out, lse = _flash_attention_packed_impl(
+        q, k, v, heads, scale=scale, block_q=block_q, block_k=block_k,
+        interpret=interpret, save_lse=True,
+    )
+    return out, (q, k, v, out, lse)
 
 
 def _fap_bwd(heads, scale, block_q, block_k, interpret, res, g):
-    q, k, v, out = res
+    q, k, v, out, lse = res
     b, lq, hd = q.shape
     lk = k.shape[1]
     d = hd // heads
     eff = scale if scale is not None else 1.0 / math.sqrt(d)
+
+    if _use_pallas_attn_bwd():
+        _log_dispatch(
+            "flash_packed_bwd", b=b, lq=lq, lk=lk, h=heads, d=d,
+            dtype=str(q.dtype),
+        )
+        return _flash_attention_packed_bwd_impl(
+            q, k, v, out, lse, g.reshape(b, lq, hd), heads, scale=eff,
+            interpret=interpret,
+        )
 
     def flat(t, l):
         # [B, L, H·D] -> [B·H, L, D]
@@ -828,6 +1261,14 @@ def _sba_bwd(scale, fold, interpret, res, g):
     b, lq, h, d = q.shape
     lk = k.shape[1]
     eff = scale if scale is not None else 1.0 / math.sqrt(d)
+    if _use_pallas_attn_bwd():
+        _log_dispatch(
+            "small_batched_bwd", b=b, lq=lq, lk=lk, h=h, d=d, fold=fold,
+            dtype=str(q.dtype),
+        )
+        return _small_batched_attention_bwd_impl(
+            q, k, v, out, g, scale=eff, fold=fold, interpret=interpret
+        )
     flat = lambda t, l: t.transpose(0, 2, 1, 3).reshape(b * h, l, t.shape[-1])
     dq, dk, dv = _attention_bwd_chunked(
         flat(q, lq), flat(k, lk), flat(v, lk), flat(out, lq), flat(g, lq), eff
