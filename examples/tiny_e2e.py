@@ -17,6 +17,12 @@ except RuntimeError:
     jax.config.update("jax_platforms", "cpu")
     _backend = jax.default_backend()
 
+import os as _os
+
+_os.makedirs(".jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 import jax.numpy as jnp
 import flax
 

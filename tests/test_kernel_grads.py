@@ -76,7 +76,10 @@ def test_flash_attention_grads():
     _check(got, want, atol=1e-3)
 
 
-def test_flash_packed_grads():
+def test_flash_packed_grads(monkeypatch):
+    # pin the chunked-jnp backward (Pallas bwd is default ON and covered by
+    # test_flash_packed_grads_pallas_bwd)
+    monkeypatch.setenv("VIDSEG_PALLAS_ATTN_BWD", "0")
     k = jax.random.PRNGKey(4)
     b, l, h, d = 2, 128, 2, 32
     q = jax.random.normal(k, (b, l, h * d))
@@ -125,7 +128,8 @@ def test_flash_packed_grads_pallas_bwd(monkeypatch):
         _check(got, want, atol=1e-3)
 
 
-def test_small_batched_grads():
+def test_small_batched_grads(monkeypatch):
+    monkeypatch.setenv("VIDSEG_PALLAS_ATTN_BWD", "0")
     k = jax.random.PRNGKey(5)
     q = jax.random.normal(k, (6, 14, 2, 32))
     kk = jax.random.normal(jax.random.fold_in(k, 1), (6, 14, 2, 32))

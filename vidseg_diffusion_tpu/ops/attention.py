@@ -1138,10 +1138,13 @@ def _small_batched_attention_bwd_impl(
 
 
 def _use_pallas_attn_bwd() -> bool:
-    """Packed-flash Pallas backward switch (read per trace so tests can
-    monkeypatch). Default OFF until measured in-model on hardware — the
-    BENCH_r03 lesson: no unmeasured default-ON kernels."""
-    return _os.environ.get("VIDSEG_PALLAS_ATTN_BWD", "0") == "1"
+    """Pallas attention-backward switch (read per trace so tests can
+    monkeypatch). Default ON from the r4 in-model measurement: the swan
+    b=28 remat'd train step fell 3180.8 -> 2219.6 ms (bwd/fwd 5.31 -> 3.40)
+    with these kernels vs the chunked jnp VJP; every dispatched bwd shape
+    compile-checked standalone (triage_bwd_kernels). VIDSEG_PALLAS_ATTN_BWD=0
+    opts out (falls back to the chunked jnp backward)."""
+    return _os.environ.get("VIDSEG_PALLAS_ATTN_BWD", "1") == "1"
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
