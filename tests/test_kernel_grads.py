@@ -66,7 +66,8 @@ def test_temporal_conv_grads():
     _check(got, want)
 
 
-def test_flash_attention_grads():
+def test_flash_attention_grads(monkeypatch):
+    monkeypatch.setenv("VIDSEG_PALLAS_ATTN_BWD", "0")  # chunked-jnp path
     k = jax.random.PRNGKey(3)
     q = jax.random.normal(k, (2, 2, 128, 32))
     kk = jax.random.normal(jax.random.fold_in(k, 1), (2, 2, 128, 32))
@@ -74,6 +75,32 @@ def test_flash_attention_grads():
     got = _grads(lambda *a: flash_attention(*a, interpret=True), q, kk, v)
     want = _grads(mha_reference, q, kk, v)
     _check(got, want, atol=1e-3)
+
+
+def test_flash_attention_grads_pallas_bwd(monkeypatch):
+    """bhld/blhd flash VJP through the packed heads=1 Pallas backward,
+    including a non-128-multiple L (padded/masked paths)."""
+    monkeypatch.setenv("VIDSEG_PALLAS_ATTN_BWD", "1")
+    k = jax.random.PRNGKey(8)
+    for layout, shape in (
+        ("bhld", (2, 2, 128, 32)),
+        ("bhld", (2, 1, 200, 32)),
+        ("blhd", (2, 128, 2, 32)),
+    ):
+        q = jax.random.normal(k, shape)
+        kk = jax.random.normal(jax.random.fold_in(k, 1), shape)
+        v = jax.random.normal(jax.random.fold_in(k, 2), shape)
+        got = _grads(
+            lambda *a, layout=layout: flash_attention(
+                *a, interpret=True, layout=layout
+            ),
+            q, kk, v,
+        )
+        want = _grads(
+            lambda *a, layout=layout: mha_reference(*a, layout=layout),
+            q, kk, v,
+        )
+        _check(got, want, atol=1e-3)
 
 
 def test_flash_packed_grads(monkeypatch):

@@ -1156,12 +1156,33 @@ def _fa(scale, block_q, block_k, interpret, layout, q, k, v):
 
 
 def _fa_fwd(scale, block_q, block_k, interpret, layout, q, k, v):
+    if _use_pallas_attn_bwd():
+        # Run the PACKED kernel with heads=1 on [B·H, L, D] so the forward
+        # saves the LSE the Pallas backward needs. [B,H,L,D] -> [B·H,L,D]
+        # is a free reshape; blhd pays the same moveaxis the 3-D impl does.
+        if layout == "blhd":
+            to = lambda t: jnp.moveaxis(t, 2, 1)
+        else:
+            to = lambda t: t
+        qt, kt, vt = to(q), to(k), to(v)
+        b, h, lq, d = qt.shape
+        lk = kt.shape[2]
+        flat = lambda t, l: t.reshape(b * h, l, d)
+        out_f, lse = _flash_attention_packed_impl(
+            flat(qt, lq), flat(kt, lk), flat(vt, lk), heads=1, scale=scale,
+            block_q=block_q, block_k=block_k, interpret=interpret,
+            save_lse=True,
+        )
+        out = out_f.reshape(b, h, lq, d)
+        if layout == "blhd":
+            out = jnp.moveaxis(out, 1, 2)
+        return out, (q, k, v, out, lse)
     out = _fa(scale, block_q, block_k, interpret, layout, q, k, v)
-    return out, (q, k, v, out)
+    return out, (q, k, v, out, None)
 
 
 def _fa_bwd(scale, block_q, block_k, interpret, layout, res, g):
-    q, k, v, out = res
+    q, k, v, out, lse = res
     eff = scale if scale is not None else 1.0 / math.sqrt(q.shape[-1])
     if layout == "blhd":
         to = lambda t: t.transpose(0, 2, 1, 3)
@@ -1170,9 +1191,19 @@ def _fa_bwd(scale, block_q, block_k, interpret, layout, res, g):
     qt, kt, vt, ot, gt = (to(t) for t in (q, k, v, out, g))
     sh = qt.shape
     flat = lambda t: t.reshape(sh[0] * sh[1], t.shape[2], t.shape[3])
-    dq, dk, dv = _attention_bwd_chunked(
-        flat(qt), flat(kt), flat(vt), flat(ot), flat(gt), eff
-    )
+    if lse is not None:
+        _log_dispatch(
+            "flash_bwd", b=sh[0], lq=sh[2], lk=kt.shape[2], h=sh[1],
+            d=sh[3], dtype=str(q.dtype),
+        )
+        dq, dk, dv = _flash_attention_packed_bwd_impl(
+            flat(qt), flat(kt), flat(vt), flat(ot), lse, flat(gt),
+            heads=1, scale=eff, interpret=interpret,
+        )
+    else:
+        dq, dk, dv = _attention_bwd_chunked(
+            flat(qt), flat(kt), flat(vt), flat(ot), flat(gt), eff
+        )
     unflat = lambda t: to(t.reshape(sh[0], sh[1], t.shape[1], t.shape[2]))
     return unflat(dq), unflat(dk), unflat(dv)
 
