@@ -108,3 +108,38 @@ def test_group_norm_near_constant_no_nan():
     for fn in (group_norm_xla, group_norm_reference):
         y = fn(x, scale, bias, groups=32)
         assert np.isfinite(np.asarray(y)).all(), fn.__name__
+
+
+def test_group_norm_pallas_backward_matches_ad():
+    """The Pallas GroupNorm reverse pass (two-input stats kernel + per-(b,c)
+    coefficient apply, ops/norm._gn_bwd_pallas) must match jax.grad of the
+    same forward math — dx, dscale, and dbias — including a row count that
+    doesn't divide into aligned tiles (padding path) and bf16 activations."""
+    from vidseg_diffusion_tpu.ops.norm import _gn, _gn_core
+
+    for shape, g, dt in [
+        ((2, 6, 8, 32), 8, jnp.float32),
+        ((3, 7, 13, 64), 16, jnp.float32),     # ragged rows
+        ((2, 14, 8, 8, 32), 32, jnp.bfloat16),  # 5-D video activation
+    ]:
+        k = jax.random.PRNGKey(3)
+        x = jax.random.normal(k, shape, jnp.float32).astype(dt)
+        scale = jax.random.normal(jax.random.fold_in(k, 1), (shape[-1],))
+        bias = jax.random.normal(jax.random.fold_in(k, 2), (shape[-1],))
+
+        def loss_pallas(x_, s_, b_):
+            return jnp.sum(_gn(g, 1e-5, True, x_, s_, b_).astype(jnp.float32) ** 2)
+
+        def loss_ref(x_, s_, b_):
+            return jnp.sum(
+                _gn_core(x_, s_, b_, g, 1e-5, False)[0].astype(jnp.float32) ** 2
+            )
+
+        got = jax.grad(loss_pallas, argnums=(0, 1, 2))(x, scale, bias)
+        want = jax.grad(loss_ref, argnums=(0, 1, 2))(x, scale, bias)
+        tol = 5e-2 if dt == jnp.bfloat16 else 2e-3
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                atol=tol, rtol=tol,
+            )

@@ -109,3 +109,77 @@ def test_every_dispatched_kernel_compiles_standalone(bench_dispatches):
 def test_full_bench_step_compiles(bench_dispatches):
     _, lowered = bench_dispatches
     lowered.compile()
+
+
+def test_train_attention_backward_kernels_compile():
+    """Every Pallas attention-backward shape the b=28 swan train step
+    dispatches must compile standalone (the training analogue of the bench
+    smoke: grad-kernel edits must not reach train_bench uncompiled). Shapes
+    are the train grad sites from train_triage --stage kernels; compiling
+    jax.grad through the custom_vjp exercises the dq/dkv packed kernels and
+    the folded tiny-seq backward at their real folds."""
+    from vidseg_diffusion_tpu.ops import attention as A
+
+    prev = os.environ.get("VIDSEG_PALLAS_ATTN_BWD")
+    os.environ["VIDSEG_PALLAS_ATTN_BWD"] = "1"
+    try:
+        cases = [
+            # (kind, b, lq, lk, h, d, fold)
+            ("flash_packed", 28, 5824, 5824, 5, 64, None),
+            ("flash_packed", 28, 1456, 1456, 10, 64, None),
+            ("small_batched", 11648, 14, 14, 5, 64, 32),
+            ("small_batched", 28, 364, 364, 20, 64, 1),
+        ]
+        for kind, b, lq, lk, h, d, fold in cases:
+            if kind == "flash_packed":
+                q = jax.ShapeDtypeStruct((b, lq, h * d), jnp.bfloat16)
+                k = jax.ShapeDtypeStruct((b, lk, h * d), jnp.bfloat16)
+
+                def f(q, k, v, h=h):
+                    return A.flash_attention_packed(
+                        q, k, v, heads=h
+                    ).astype(jnp.float32).sum()
+            else:
+                q = jax.ShapeDtypeStruct((b, lq, h, d), jnp.bfloat16)
+                k = jax.ShapeDtypeStruct((b, lk, h, d), jnp.bfloat16)
+
+                def f(q, k, v, fold=fold):
+                    return A.small_batched_attention(
+                        q, k, v, fold=fold
+                    ).astype(jnp.float32).sum()
+
+            jax.jit(jax.grad(f, argnums=(0, 1, 2))).lower(q, k, k).compile()
+    finally:
+        if prev is None:
+            os.environ.pop("VIDSEG_PALLAS_ATTN_BWD", None)
+        else:
+            os.environ["VIDSEG_PALLAS_ATTN_BWD"] = prev
+
+
+def test_train_groupnorm_backward_kernels_compile():
+    """GN Pallas reverse (stats + coefficient apply) at the swan train GN
+    shapes; grad through the custom_vjp with the knob on."""
+    from vidseg_diffusion_tpu.ops import norm as N
+
+    prev = os.environ.get("VIDSEG_PALLAS_GN_BWD")
+    os.environ["VIDSEG_PALLAS_GN_BWD"] = "1"
+    try:
+        for shape, g in [
+            ((28, 56, 104, 320), 32),
+            ((28, 28, 52, 640), 32),
+            ((28, 14, 26, 1280), 32),
+        ]:
+            x = jax.ShapeDtypeStruct(shape, jnp.bfloat16)
+            s = jax.ShapeDtypeStruct((shape[-1],), jnp.float32)
+
+            def f(x, s, b, g=g):
+                return N.group_norm_xla(
+                    x, s, b, groups=g
+                ).astype(jnp.float32).sum()
+
+            jax.jit(jax.grad(f, argnums=(0, 1, 2))).lower(x, s, s).compile()
+    finally:
+        if prev is None:
+            os.environ.pop("VIDSEG_PALLAS_GN_BWD", None)
+        else:
+            os.environ["VIDSEG_PALLAS_GN_BWD"] = prev

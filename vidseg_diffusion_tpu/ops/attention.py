@@ -759,6 +759,11 @@ def _attention_bwd_chunked(q, k, v, out, g, scale,
     return dq, dk, dv
 
 
+# Backward-kernel block budget (scripts/tests/attn_bwd_tune.py sweeps this
+# together with explicit blocks; the default keeps the heavier dkv program's
+# working set comfortably under the 64 MB per-kernel scoped-vmem limit).
+_BWD_VMEM_BUDGET = 14 * 1024 * 1024
+
 # ---------------------------------------------------------------------------
 # Pallas flash backward (packed layout). Standard flash-attention reverse
 # pass split into two kernels so every output has exactly one writer program
@@ -918,7 +923,7 @@ def _flash_attention_packed_bwd_impl(
         cells = bq * bk * (4 * 4 + 2 * in_bytes)
         return io + accs + int(cells * 1.5)
 
-    budget = 14 * 1024 * 1024
+    budget = _BWD_VMEM_BUDGET
     if vmem_bytes(block_q, block_k) > budget:
         fits = [
             c for c in range(128, block_k + 1, 8)

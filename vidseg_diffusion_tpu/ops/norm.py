@@ -203,7 +203,205 @@ def group_norm_silu(
     return out[:, :m]
 
 
+# ---------------------------------------------------------------------------
+# GroupNorm backward (Pallas). The train-step profile (PROFILE_TRAIN r4)
+# shows the XLA-AD GroupNorm reverse ops running at ~50-150 GB/s: the
+# per-(B,C) stats-grad reductions and the dx recombination land in generic
+# loop fusions far off the HBM bound. The reverse pass factors exactly like
+# the forward split-GN: one two-input stats pass (per-channel Σdy, Σdy·x —
+# lane-aligned, no activation reshape), tiny [B, C]/[B, G] coefficient math,
+# and one coefficient-form apply pass dx = a·dy + b·x + c. dγ/dβ fall out of
+# the same per-channel sums.
+# ---------------------------------------------------------------------------
+
+
+def _gn_bwd_stats_kernel(x_ref, g_ref, o_ref):
+    mb = pl.program_id(1)
+
+    @pl.when(mb == 0)
+    def _init():
+        o_ref[0] = jnp.zeros_like(o_ref[0])
+
+    x = x_ref[0].astype(jnp.float32)               # [tm, W, C]
+    g = g_ref[0].astype(jnp.float32)
+    r1 = jnp.sum(g, axis=(0, 1))                   # [C]  Σ dy
+    rx = jnp.sum(g * x, axis=(0, 1))               # [C]  Σ dy·x
+    o_ref[0] += jnp.stack([r1, rx])                # [2, C]
+
+
+def _gn_bwd_apply_kernel(x_ref, g_ref, a_ref, b_ref, c_ref, o_ref):
+    x = x_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    y = (
+        g * a_ref[0, 0][None]
+        + x * b_ref[0, 0][None]
+        + c_ref[0, 0][None]
+    )
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _gn_bwd_pallas(x, gy, scale, mean, inv, groups, interpret=False):
+    """Pallas GroupNorm reverse: returns (dx, dscale, dbias).
+
+    x/gy: [B, ..., C]; mean/inv: [B, G] f32 residuals from the forward.
+    Standard GN backward in coefficient form: with u = dy·γ and
+    x̂ = (x − μ)·inv,  dx = inv·(u − mean_g(u) − x̂·mean_g(u·x̂)), which is
+    per-(b, c) affine in (dy, x):  dx = a·dy + b·x + c."""
+    shape = x.shape
+    b, w, c = shape[0], shape[-2], shape[-1]
+    m = x.size // (b * w * c)
+    x4, tm, nm = _pad_to_tiles(x.reshape(b, m, w, c))
+    g4 = gy.reshape(b, m, w, c)
+    if x4.shape[1] != m:
+        g4 = jnp.pad(g4, ((0, 0), (0, x4.shape[1] - m), (0, 0), (0, 0)))
+
+    sums = pl.pallas_call(
+        _gn_bwd_stats_kernel,
+        grid=(b, nm),
+        in_specs=[
+            pl.BlockSpec((1, tm, w, c), lambda bb, mb: (bb, mb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, w, c), lambda bb, mb: (bb, mb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, c), lambda bb, mb: (bb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 2, c), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_KERNEL_VMEM_LIMIT,
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x4, g4)
+    r1, rx = sums[:, 0], sums[:, 1]                       # [B, C] f32
+    cg = c // groups
+    n = m * w * cg                                        # elems per group
+    sf = scale[None].astype(jnp.float32)                  # [1, C]
+    grp = lambda t: t.reshape(b, groups, cg).sum(-1)      # [B, C] -> [B, G]
+    s_u = grp(r1 * sf)                                    # Σ u
+    s_ux = inv * (grp(rx * sf) - mean * grp(r1 * sf))     # Σ u·x̂
+    m1, m2 = s_u / n, s_ux / n                            # [B, G]
+    rep = lambda t: jnp.repeat(t, cg, axis=1)             # [B, G] -> [B, C]
+    a2 = rep(inv) * sf                                    # dy coeff
+    b2 = rep(-inv * inv * m2)                             # x coeff
+    c2 = rep(inv * (mean * inv * m2 - m1))                # constant
+    # parameter grads from the same per-channel sums
+    dbias = jnp.sum(r1, axis=0).astype(scale.dtype)
+    dscale = jnp.sum(
+        rep(inv) * (rx - rep(mean) * r1), axis=0
+    ).astype(scale.dtype)
+
+    dx = pl.pallas_call(
+        _gn_bwd_apply_kernel,
+        grid=(b, nm),
+        in_specs=[
+            pl.BlockSpec((1, tm, w, c), lambda bb, mb: (bb, mb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, w, c), lambda bb, mb: (bb, mb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bb, mb: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bb, mb: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bb, mb: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tm, w, c), lambda bb, mb: (bb, mb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x4.shape, x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_KERNEL_VMEM_LIMIT,
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(x4, g4, a2[:, None], b2[:, None], c2[:, None])
+    return dx[:, :m].reshape(shape), dscale, dbias
+
+
+def _gn_core(x, scale, bias, groups, eps, silu):
+    """group_norm_xla math, also returning the (mean, inv) [B, G] stats."""
+    b, c = x.shape[0], x.shape[-1]
+    red = tuple(range(1, x.ndim - 1))
+    xf = x.astype(jnp.float32)
+    s = jnp.sum(xf, axis=red)          # [B, C]
+    ss = jnp.sum(xf * xf, axis=red)    # [B, C]
+    n = (x.size // (b * c)) * (c // groups)
+    gs = s.reshape(b, groups, -1).sum(-1)    # [B, G]
+    gss = ss.reshape(b, groups, -1).sum(-1)
+    mean = gs / n
+    var = jnp.maximum(0.0, gss / n - mean * mean)  # roundoff clamp (see below)
+    inv = jax.lax.rsqrt(var + eps)
+    rep = lambda g: jnp.repeat(g, c // groups, axis=1)  # [B, G] -> [B, C]
+    a = rep(inv) * scale[None].astype(jnp.float32)
+    bsh = (
+        bias[None].astype(jnp.float32)
+        - rep(mean * inv) * scale[None].astype(jnp.float32)
+    )
+    bcast = (b,) + (1,) * (x.ndim - 2) + (c,)
+    y = xf * a.reshape(bcast) + bsh.reshape(bcast)
+    if silu:
+        y = y * jax.nn.sigmoid(y)
+    return y.astype(x.dtype), (mean, inv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _gn(groups, eps, interpret, x, scale, bias):
+    return _gn_core(x, scale, bias, groups, eps, False)[0]
+
+
+def _gn_fwd(groups, eps, interpret, x, scale, bias):
+    y, (mean, inv) = _gn_core(x, scale, bias, groups, eps, False)
+    return y, (x, scale, mean, inv)
+
+
+def _gn_bwd(groups, eps, interpret, res, gy):
+    x, scale, mean, inv = res
+    dx, dscale, dbias = _gn_bwd_pallas(
+        x, gy, scale, mean, inv, groups, interpret=interpret
+    )
+    return dx, dscale, dbias
+
+
+_gn.defvjp(_gn_fwd, _gn_bwd)
+
+
+def _use_pallas_gn_bwd() -> bool:
+    """GroupNorm Pallas-backward switch (read per trace). Default OFF —
+    MEASURED LOSS in-model (r4, swan b=28 remat'd train step: 2303.4 ms vs
+    2219.6 with XLA's AD): the standalone reverse custom calls break the
+    fusions XLA otherwise forms between the GN backward and the surrounding
+    conv/elementwise chains — the same result as the fused GN *forward*
+    (group_norm docstring). Kernels stay for standalone-GN training paths
+    outside conv chains; parity-tested in tests/test_ops_norm.py."""
+    import os
+
+    return os.environ.get("VIDSEG_PALLAS_GN_BWD", "0") == "1"
+
+
 def group_norm_xla(
+    x: jax.Array, scale: jax.Array, bias: jax.Array,
+    *, groups: int = 32, eps: float = 1e-5, silu: bool = False,
+) -> jax.Array:
+    """Lane-layout-preserving GroupNorm(+SiLU); Pallas reverse pass on TPU.
+
+    Forward is the pure-XLA formulation below (unchanged — its statistics
+    reduce fuses into the preceding convolution). When differentiated on
+    TPU with VIDSEG_PALLAS_GN_BWD=1, the custom_vjp routes the backward
+    through the two Pallas passes above instead of XLA's AD fusions."""
+    if (
+        not silu
+        and x.ndim >= 3
+        and x.shape[-1] % groups == 0
+        and jax.default_backend() == "tpu"
+        and _use_pallas_gn_bwd()
+    ):
+        return _gn(groups, eps, False, x, scale, bias)
+    return _group_norm_xla_plain(
+        x, scale, bias, groups=groups, eps=eps, silu=silu
+    )
+
+
+def _group_norm_xla_plain(
     x: jax.Array, scale: jax.Array, bias: jax.Array,
     *, groups: int = 32, eps: float = 1e-5, silu: bool = False,
 ) -> jax.Array:
@@ -221,29 +419,8 @@ def group_norm_xla(
     aggregation happens on the tiny [B, C] stats array. Statistics are
     fp32 (GroupNorm32 semantics, diffusionmodules/util.py:261-278); no
     fp32 copy of the activation is ever materialized."""
-    b, c = x.shape[0], x.shape[-1]
-    assert c % groups == 0, (c, groups)
-    red = tuple(range(1, x.ndim - 1))
-    xf = x.astype(jnp.float32)
-    s = jnp.sum(xf, axis=red)          # [B, C]
-    ss = jnp.sum(xf * xf, axis=red)    # [B, C]
-    n = (x.size // (b * c)) * (c // groups)
-    gs = s.reshape(b, groups, -1).sum(-1)    # [B, G]
-    gss = ss.reshape(b, groups, -1).sum(-1)
-    mean = gs / n
-    var = jnp.maximum(0.0, gss / n - mean * mean)  # roundoff clamp (see above)
-    inv = jax.lax.rsqrt(var + eps)
-    rep = lambda g: jnp.repeat(g, c // groups, axis=1)  # [B, G] -> [B, C]
-    a = rep(inv) * scale[None].astype(jnp.float32)
-    bsh = (
-        bias[None].astype(jnp.float32)
-        - rep(mean * inv) * scale[None].astype(jnp.float32)
-    )
-    bcast = (b,) + (1,) * (x.ndim - 2) + (c,)
-    y = xf * a.reshape(bcast) + bsh.reshape(bcast)
-    if silu:
-        y = y * jax.nn.sigmoid(y)
-    return y.astype(x.dtype)
+    assert x.shape[-1] % groups == 0, (x.shape[-1], groups)
+    return _gn_core(x, scale, bias, groups, eps, silu)[0]
 
 
 def group_norm_reference(
