@@ -61,8 +61,26 @@ def _param_shapes(init_fn) -> Any:
 
 def _synthesize_params(shapes, rng: jax.Array, dtype):
     """Random params from a shape tree, generated on device under one jit
-    (smoke/bench mode — values only need to be well-scaled, not trained)."""
+    (smoke/bench mode — values only need to be well-scaled, not trained).
+
+    On the CPU backend (tests) the jitted per-leaf program costs ~3 s of
+    XLA:CPU compile per component (~40 s per tiny-pipeline build); values
+    are throwaway randoms, so numpy generates them instead — no compile."""
     leaves, treedef = jax.tree_util.tree_flatten(shapes)
+
+    if jax.default_backend() == "cpu":
+        seed = int(np.asarray(jax.random.key_data(rng)).ravel()[-1])
+        gen = np.random.default_rng(seed)
+        outs = []
+        for s in leaves:
+            if s.ndim <= 1:
+                outs.append(jnp.full(s.shape, 0.5, dtype))
+            else:
+                fan_in = int(np.prod(s.shape[:-1]))
+                std = (1.0 / max(fan_in, 1)) ** 0.5
+                vals = gen.standard_normal(s.shape, dtype=np.float32) * std
+                outs.append(jnp.asarray(vals, dtype))
+        return jax.tree_util.tree_unflatten(treedef, outs)
 
     @jax.jit
     def make(key):
