@@ -45,7 +45,7 @@ def parse_args():
     p.add_argument("--model_config", type=str, default="configs/inference/svd.yaml")
     p.add_argument("--ckpt_path", type=str, default=None)
     p.add_argument("--feature_folder", type=str, default="features_outputs")
-    p.add_argument("--runs_chunk", type=int, default=2)
+    p.add_argument("--runs_chunk", type=int, default=1)
     p.add_argument("--dtype", type=str, default=None, choices=["bfloat16", "float32"],
                    help="compute dtype (default: bfloat16 on TPU — the reference runs fp16 autocast — else float32)")
     p.add_argument("--num_classes", type=int, default=124)

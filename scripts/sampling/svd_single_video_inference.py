@@ -42,7 +42,7 @@ def parse_args():
                    help="override the YAML ckpt_path; omit + missing file → random weights smoke mode")
     p.add_argument("--num_steps", type=int, default=25)
     p.add_argument("--feature_folder", type=str, default="features_outputs")
-    p.add_argument("--runs_chunk", type=int, default=2)
+    p.add_argument("--runs_chunk", type=int, default=1)
     p.add_argument("--decoding_t", type=int, default=1,
                    help="frames decoded per VAE-decoder call (reference default 1; larger values batch the temporal decoder)")
     p.add_argument("--dtype", type=str, default=None, choices=["bfloat16", "float32"],

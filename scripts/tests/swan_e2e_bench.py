@@ -109,17 +109,24 @@ def main():
 
     import json
 
+    # merge-preserve sections other harnesses own (host_stream_bench.py
+    # writes "injected_streaming"); a fresh headline must not drop them
+    prev = {}
+    if os.path.exists("BENCH_E2E.json"):
+        with open("BENCH_E2E.json") as f:
+            prev = json.load(f)
     with open("BENCH_E2E.json", "w") as f:
-        json.dump({
+        json.dump({**prev, **{
             "total_s": round(total, 2),
             "s_per_frame": round(total / t, 3),
             "frames_per_sec": round(t / total, 3),
             "num_masks": args.num_masks,
             "num_steps": args.num_steps,
             "decoding_t": args.decoding_t,
+            "runs_chunk": args.runs_chunk,
             "stages_s": {k: round(v, 3) for k, v in timings.items()},
             "device": __import__("jax").devices()[0].device_kind,
-        }, f, indent=2)
+        }}, f, indent=2)
     print("wrote BENCH_E2E.json")
 
 

@@ -53,6 +53,7 @@ def main():
     p.add_argument("--num_masks", type=int, default=5)
     p.add_argument("--num_steps", type=int, default=25)
     p.add_argument("--decoding_t", type=int, default=7)
+    p.add_argument("--runs_chunk", type=int, default=1)
     p.add_argument("--data_root", default="/tmp/vspw_synth")
     p.add_argument("--out", default="BENCH_SWEEP.json")
     args = p.parse_args()
@@ -87,11 +88,14 @@ def main():
         num_masks=args.num_masks,
         feature_extraction_mode="kmeans_masks",
         decoding_t=args.decoding_t,
+        runs_chunk=args.runs_chunk,
         feature_folder="/tmp/sweep_bench_out",
     )
 
     per_video = []
-    stage_totals: dict = {}
+    per_video_stages = []  # per-video × per-stage matrix (VERDICT r4 #1:
+    # stage totals alone mixed compile into warm-video economics and could
+    # not attribute the 172 vs 212 s warm-video variance)
     total_frames = 0
     t_sweep = time.perf_counter()
     for i, vname in enumerate(names):
@@ -104,17 +108,25 @@ def main():
         )
         dv = time.perf_counter() - tv
         per_video.append(round(dv, 2))
+        per_video_stages.append({k: round(v, 2) for k, v in timings.items()})
         total_frames += len(res.seg)
-        for k, v in timings.items():
-            stage_totals[k] = stage_totals.get(k, 0.0) + v
         print(f"{vname}: {dv:.1f}s ({len(res.seg)} frames) "
               f"{ {k: round(v,1) for k,v in timings.items()} }", flush=True)
     total_s = time.perf_counter() - t_sweep
 
     n_chips = jax.device_count()
-    # steady-state rate: the first video carries every jit trace/compile;
-    # report both (the sweep metric of record excludes one-time compile,
-    # matching how the per-step bench excludes compilation)
+    stage_totals: dict = {}
+    for tm in per_video_stages:
+        for k, v in tm.items():
+            stage_totals[k] = stage_totals.get(k, 0.0) + v
+    # warm/cold separation: video 0 carries every jit trace/compile (cold);
+    # videos 1+ are the steady-state regime the sweep metric of record
+    # describes (compile is one-time, like the per-step bench's exclusion)
+    warm = per_video_stages[1:] if len(per_video_stages) > 1 else per_video_stages
+    stage_means_warm = {
+        k: round(sum(tm.get(k, 0.0) for tm in warm) / len(warm), 2)
+        for k in stage_totals
+    }
     steady_videos = per_video[1:] if len(per_video) > 1 else per_video
     steady_frames = total_frames * len(steady_videos) / len(per_video)
     steady_s = sum(steady_videos)
@@ -125,9 +137,13 @@ def main():
         "num_masks": args.num_masks,
         "num_steps": args.num_steps,
         "decoding_t": args.decoding_t,
+        "runs_chunk": args.runs_chunk,
         "chips": n_chips,
         "total_s": round(total_s, 1),
         "per_video_s": per_video,
+        "per_video_stages_s": per_video_stages,
+        "cold_video_stages_s": per_video_stages[0],
+        "warm_stage_means_s": stage_means_warm,
         "stage_totals_s": {k: round(v, 1) for k, v in stage_totals.items()},
         "frames_per_sec_per_chip": round(
             total_frames / total_s / n_chips, 4

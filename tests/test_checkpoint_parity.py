@@ -212,3 +212,140 @@ class TestVAEParity:
         out = np.asarray(dec.apply({"params": params}, zj, timesteps=t))
         out = out.transpose(0, 3, 1, 2)
         np.testing.assert_allclose(out, out_ref, atol=ATOL, rtol=1e-3)
+
+
+class TestFullLayoutKeyInventory:
+    """Day-1 real-checkpoint readiness (VERDICT r4 #6): the converter's name
+    map must cover the reference graph's state_dict at the REAL shipped
+    layouts — bidirectionally — so the first real `svd.safetensors` /
+    `sd_2_1.ckpt` load is a formality. The reference torch graphs are
+    instantiated WITHOUT weights on the meta device from the exact
+    configs/inference/*.yaml network params (diffusion.py:85-103 loads with
+    strict=False, which would hide such gaps; convert_state_dict must not).
+
+    `spatial_transformer_attn_type` is forced to "softmax" (xformers is not
+    importable here) — CrossAttention and MemoryEfficientCrossAttention
+    expose identical param names (attention.py:257-364 vs :367-485), so the
+    key inventory is unchanged.
+    """
+
+    @staticmethod
+    def _meta_sd_shapes(module):
+        return {k: tuple(v.shape) for k, v in module.state_dict().items()}
+
+    @staticmethod
+    def _assert_bidirectional(flax_shapes, ref_shapes, key_fn):
+        """Every flax leaf maps onto a present reference key with an
+        _adapt-compatible shape; every reference key is consumed."""
+        from flax import traverse_util
+
+        from vidseg_diffusion_tpu.io.checkpoint import _adapt
+
+        flat = traverse_util.flatten_dict(flax_shapes)
+        used = set()
+        for path, val in flat.items():
+            tkey = key_fn(path)
+            assert tkey in ref_shapes, (
+                f"flax path {'/'.join(path)} -> torch key {tkey!r} "
+                "not in the reference state_dict"
+            )
+            # int8 zeros: _adapt only transposes/reshapes, so the layout
+            # check runs at full 1.5B scale without 6 GB of fp32
+            w = _adapt(
+                np.zeros(ref_shapes[tkey], dtype=np.int8),
+                tuple(val.shape), path[-1],
+            )
+            assert tuple(w.shape) == tuple(val.shape), (
+                f"{tkey}: adapted {w.shape} vs flax {val.shape}"
+            )
+            used.add(tkey)
+        missing = set(ref_shapes) - used
+        assert not missing, (
+            f"{len(missing)} reference keys unmapped, e.g. "
+            f"{sorted(missing)[:8]}"
+        )
+
+    def test_svd_video_unet_full_layout(self):
+        import yaml
+
+        from vidseg_diffusion_tpu.config import load_model_spec
+        from vidseg_diffusion_tpu.engine.build import _unet_shapes
+        from vidseg_diffusion_tpu.models.unet import UNetModel
+
+        with open("/root/reference/configs/inference/svd.yaml") as f:
+            node = yaml.safe_load(f)
+        kw = dict(node["model"]["params"]["network_config"]["params"])
+        kw["use_checkpoint"] = False
+        kw["spatial_transformer_attn_type"] = "softmax"
+        RefVideoUNet = import_reference_video_unet()
+        with torch.device("meta"):
+            ref = RefVideoUNet(**kw)
+        ref_shapes = self._meta_sd_shapes(ref)
+        n_params = sum(
+            int(np.prod(s)) for s in ref_shapes.values()
+        )
+        assert n_params > 1.5e9  # the real 1.5B layout, not a tiny config
+
+        spec = load_model_spec("configs/inference/svd.yaml")
+        shapes = _unet_shapes(
+            UNetModel(spec.unet_config), jax.random.PRNGKey(0)
+        )
+        self._assert_bidirectional(shapes, ref_shapes, unet_key_fn)
+
+    def test_sd21_unet_full_layout(self):
+        import yaml
+
+        from vidseg_diffusion_tpu.config import load_model_spec
+        from vidseg_diffusion_tpu.engine.build import _unet_shapes
+        from vidseg_diffusion_tpu.models.unet import UNetModel
+
+        with open("/root/reference/configs/inference/sd_2_1.yaml") as f:
+            node = yaml.safe_load(f)
+        kw = dict(node["model"]["params"]["network_config"]["params"])
+        kw["use_checkpoint"] = False
+        RefUNet = import_reference_unet()
+        with torch.device("meta"):
+            ref = RefUNet(**kw)
+        ref_shapes = self._meta_sd_shapes(ref)
+
+        spec = load_model_spec("configs/inference/sd_2_1.yaml")
+        shapes = _unet_shapes(
+            UNetModel(spec.unet_config), jax.random.PRNGKey(0)
+        )
+        self._assert_bidirectional(shapes, ref_shapes, unet_key_fn)
+
+    def test_svd_vae_full_layout(self):
+        import yaml
+
+        from vidseg_diffusion_tpu.config import load_model_spec
+        from vidseg_diffusion_tpu.engine.build import _param_shapes
+
+        with open("/root/reference/configs/inference/svd.yaml") as f:
+            node = yaml.safe_load(f)
+        fs = node["model"]["params"]["first_stage_config"]["params"]
+        enc_kw = dict(fs["encoder_config"]["params"])
+        dec_kw = dict(fs["decoder_config"]["params"])
+
+        RefEncoder, _ = import_reference_vae()
+        RefVideoDecoder = import_reference_video_decoder()
+        with torch.device("meta"):
+            ref_enc = RefEncoder(**enc_kw)
+            ref_dec = RefVideoDecoder(**dec_kw)
+
+        spec = load_model_spec("configs/inference/svd.yaml")
+        enc = fvae.Encoder(spec.vae_config)
+        dec = fvae.Decoder(spec.vae_config)
+        rng = jax.random.PRNGKey(0)
+        z = spec.vae_config.z_channels
+        enc_shapes = _param_shapes(
+            lambda: enc.init(rng, jnp.zeros((1, 64, 64, 3)))
+        )
+        dec_shapes = _param_shapes(
+            lambda: dec.init(rng, jnp.zeros((1, 8, 8, z)), timesteps=1)
+        )
+        self._assert_bidirectional(
+            enc_shapes, self._meta_sd_shapes(ref_enc), vae_key_fn
+        )
+        self._assert_bidirectional(
+            dec_shapes, self._meta_sd_shapes(ref_dec), vae_key_fn
+        )

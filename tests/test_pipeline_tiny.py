@@ -68,6 +68,54 @@ def test_inversion_type_wired(tiny_pipeline, tmp_path):
         run_single_video(tiny_pipeline, frames, names, bad, write_outputs=False)
 
 
+def test_condition_video_fused_matches_conditioner(tiny_pipeline):
+    """Pipeline.condition_video (one fused jit) must reproduce the
+    embedder-by-embedder Conditioner path exactly: same routing order,
+    same uc zeroing (modules.py:166-184), same per-frame repeat, same
+    cond_aug noise from the same key."""
+    import jax
+    import jax.numpy as jnp
+
+    assert tiny_pipeline.condition_video is not None
+    rng = np.random.RandomState(3)
+    image = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32) * 2 - 1)
+    r_aug = jax.random.PRNGKey(11)
+    t = 3
+    cond_aug = 0.02
+    fps, mot = 14.0, 127.0
+
+    c_f, uc_f = tiny_pipeline.condition_video(
+        image, r_aug, jnp.array([fps]), jnp.array([mot]),
+        jnp.array([cond_aug]), t,
+    )
+
+    batch = {
+        "cond_frames_without_noise": image,
+        "cond_frames": image
+        + cond_aug * jax.random.normal(r_aug, image.shape),
+        "fps_id": jnp.array([fps]),
+        "motion_bucket_id": jnp.array([mot]),
+        "cond_aug": jnp.array([cond_aug]),
+    }
+    c1, uc1 = tiny_pipeline.conditioner.get_unconditional_conditioning(
+        batch,
+        force_uc_zero_embeddings=["cond_frames", "cond_frames_without_noise"],
+    )
+    per_frame = lambda d: {k: jnp.repeat(v, t, axis=0) for k, v in d.items()}
+    c_r, uc_r = per_frame(c1), per_frame(uc1)
+
+    assert set(c_f) == set(c_r) and set(uc_f) == set(uc_r)
+    for k in c_r:
+        np.testing.assert_allclose(
+            np.asarray(c_f[k], np.float32), np.asarray(c_r[k], np.float32),
+            rtol=2e-5, atol=2e-6, err_msg=f"c[{k}]",
+        )
+        np.testing.assert_allclose(
+            np.asarray(uc_f[k], np.float32), np.asarray(uc_r[k], np.float32),
+            rtol=2e-5, atol=2e-6, err_msg=f"uc[{k}]",
+        )
+
+
 def test_orbax_param_roundtrip(tiny_pipeline, tmp_path):
     import jax
 

@@ -126,6 +126,14 @@ class Pipeline:
     first_stage: FirstStage
     conditioner: Optional[Conditioner]
     clip_apply: Optional[Any] = None  # image or text tower apply fn
+    # fused SVD conditioning: ONE jitted program for the whole c/uc build
+    # (CLIP tower + cond-frame VAE encode + scalar embedders + uc zeroing +
+    # per-frame repeat). The embedder-by-embedder Conditioner path dispatches
+    # ~30 eager glue ops per video (repeat/concat/zeros/normal) — each a
+    # host→device round-trip, seconds per call through a degraded tunnel
+    # (the r4 sweep spent 169.7 s in "conditioning"). Signature:
+    # (image, r_aug_key, fps_id, motion_bucket, cond_aug, t) -> (c, uc)
+    condition_video: Optional[Any] = None
     # engine cache: the SAME engine instance must be returned for identical
     # (mod_cfg, harvest) so the engine's cached jit wrappers survive across
     # run_single_video calls (fresh wrappers re-trace + re-load the compiled
@@ -185,6 +193,7 @@ def build_pipeline(
     quant = post_quant = None
     clip_apply = None
     conditioner = None
+    condition_video = None
 
     import os
 
@@ -289,6 +298,57 @@ def build_pipeline(
 
             conditioner = build_svd_conditioner(clip_image_fn, vae_encode_fn)
             clip_apply = clip_image_fn
+
+            # fused conditioning program (see Pipeline.condition_video):
+            # numerically identical to the Conditioner path — same embedder
+            # order (crossattn=CLIP, vector=[fps|motion|aug], concat=VAE),
+            # same uc zeroing (force_uc_zero on both cond_frames keys,
+            # encoders/modules.py:166-184), same per-frame repeat — but one
+            # dispatch instead of ~30 (equivalence: tests/test_pipeline_tiny
+            # ::test_condition_video_fused_matches_conditioner)
+            from vidseg_diffusion_tpu.models.conditioner import (
+                concat_timestep_embedder,
+            )
+
+            def _cond_fused_impl(vp, cp, q, image, r_aug, fps_id,
+                                 motion_bucket, cond_aug, t):
+                z = vision.apply({"params": vp}, clip_preprocess(image))
+                z = z[:, None, :]  # [1, 1, 1024]
+                vec = jnp.concatenate(
+                    [
+                        concat_timestep_embedder(fps_id, 256),
+                        concat_timestep_embedder(motion_bucket, 256),
+                        concat_timestep_embedder(cond_aug, 256),
+                    ],
+                    axis=1,
+                )
+                cond_frames = image + cond_aug[0] * jax.random.normal(
+                    r_aug, image.shape
+                )
+                moments = enc.apply({"params": cp}, cond_frames)
+                if _has_q:
+                    kq, bq = q
+                    moments = jnp.einsum(
+                        "bhwc,cd->bhwd", moments, kq[0, 0]
+                    ) + bq
+                cat = fvae.gaussian_sample(moments, None)
+                rep = lambda a: jnp.repeat(a, t, axis=0)
+                c = {"crossattn": rep(z), "vector": rep(vec),
+                     "concat": rep(cat)}
+                uc = {"crossattn": rep(jnp.zeros_like(z)),
+                      "vector": rep(vec),
+                      "concat": rep(jnp.zeros_like(cat))}
+                return c, uc
+
+            _cond_fused = jax.jit(_cond_fused_impl, static_argnames=("t",))
+
+            def condition_video(image, r_aug, fps_id, motion_bucket,
+                                cond_aug, t):
+                return _cond_fused(
+                    vparams, cenc_params, _cq, image, r_aug,
+                    jnp.asarray(fps_id), jnp.asarray(motion_bucket),
+                    jnp.asarray(cond_aug), t,
+                )
         elif "FrozenOpenCLIPEmbedder2" in targets:
             # SDXL text conditioners. Base (sd_xl_base.yaml:35-73): HF CLIP-L
             # hidden layer 11 + open_clip ViT-bigG penultimate w/ pooled.
@@ -475,4 +535,5 @@ def build_pipeline(
         first_stage=first_stage,
         conditioner=conditioner,
         clip_apply=clip_apply,
+        condition_video=condition_video,
     )

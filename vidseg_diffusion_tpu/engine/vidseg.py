@@ -898,7 +898,9 @@ class VidSegEngine:
             }
 
         pending: Dict[int, Dict] = {}
-        if inject_list:
+        if inject_list and inject_list[0] <= t_start + 1:
+            # only when the first inject step is (nearly) immediate — a
+            # later one is prefetched by the one-slot lookahead below
             pending[inject_list[0]] = put_slice(inject_list[0])
         for n, i in enumerate(range(t_start, sampler.num_steps)):
             args = (c_r, uc_r, xs, jnp.asarray(i), sigmas[i], sigmas[i + 1],
@@ -917,8 +919,13 @@ class VidSegEngine:
                 xs = self._sharded_step_jit(mesh, sliced=False)(
                     params_r, cache_r, {}, *args
                 )
+            # one-slot lookahead ONLY: putting a slice many steps early has
+            # no overlap benefit and pins a full replicated step slice
+            # (~1.1 GB/device at swan scale) in HBM across every intervening
+            # non-inject step — on sparse inject schedules that residency
+            # eats the already-tight v5e headroom
             nxt = next((j for j in inject_list if j > i), None)
-            if nxt is not None and nxt not in pending:
+            if nxt is not None and nxt <= i + 1 and nxt not in pending:
                 pending[nxt] = put_slice(nxt)
             del step_inj
             if progress is not None:
@@ -1035,9 +1042,11 @@ class VidSegEngine:
             }
 
         pending: Dict[int, Dict] = {}
-        if inject_list:
+        if inject_list and inject_list[0] <= t_start + 1:
             # first slice has no compute to hide behind (t_start == first
-            # inject step on the reference schedule) — pay it up front
+            # inject step on the reference schedule) — pay it up front; a
+            # LATER first inject step is prefetched by the one-slot
+            # lookahead below instead (no early HBM residency)
             pending[inject_list[0]] = put_slice(inject_list[0])
         for i in range(t_start, sampler.num_steps):
             step_inj = pending.pop(i, None)
@@ -1047,9 +1056,12 @@ class VidSegEngine:
                     mts[r], mls[r], lams[r],
                 )
             # prefetch the next inject slice while this step's runs execute;
-            # dropping step_inj releases the consumed device buffers
+            # dropping step_inj releases the consumed device buffers. One-
+            # slot lookahead ONLY (nxt == i+1): an earlier put has no
+            # overlap benefit and pins the ~1.1 GB slice in HBM across all
+            # intervening non-inject steps on sparse schedules
             nxt = next((j for j in inject_list if j > i), None)
-            if nxt is not None and nxt not in pending:
+            if nxt is not None and nxt <= i + 1 and nxt not in pending:
                 pending[nxt] = put_slice(nxt)
             del step_inj
             done += 1

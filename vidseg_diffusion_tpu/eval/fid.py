@@ -87,6 +87,12 @@ def clip_features(
     extractor (InceptionV3, sgm/modules/encoders/modules.py:187-205) wraps
     absent pytorch_fid weights and stays excluded (PARITY.md)."""
     images = jnp.asarray(images)
+    if images.shape[0] == 0:
+        raise ValueError(
+            "clip_features needs at least one image (got an empty batch); "
+            "FID additionally needs N >= 2 rows per population for a "
+            "non-degenerate covariance"
+        )
     feats = [
         clip_image_fn(images[i : i + batch_size])
         for i in range(0, images.shape[0], batch_size)

@@ -33,13 +33,21 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 _LOG2_E = math.log2(math.e)
 
-# A/B knob (read at import): fold the softmax denominator into the P·V dot
-# in the packed flash kernel (ones-column on v) — see _flash_kernel_packed.
-# Default ON from the round-4 in-model A/B: 28.23 f/s vs 28.18 without, on
-# top of outproj=flat (505.0 ms -> 495.9 ms for the two knobs together).
 import os as _os  # noqa: E402
 
-_FUSED_PSUM = _os.environ.get("VIDSEG_FLASH_FUSED_PSUM", "1") == "1"
+
+def _fused_psum_enabled() -> bool:
+    """A/B knob: fold the softmax denominator into the P·V dot in the packed
+    flash kernel (ones-column on v) — see _flash_kernel_packed. Default ON
+    from the round-4 in-model A/B: 28.23 f/s vs 28.18 without, on top of
+    outproj=flat (505.0 ms -> 496 ms for the two knobs together). Read per
+    TRACE (like _use_pallas_attn_bwd) so VIDSEG_FLASH_FUSED_PSUM=0 works
+    after import and tests can monkeypatch both A/B arms in one process —
+    the product call sites (_fap/_fap_fwd/_fa_fwd) resolve it and pass the
+    bool as a static arg, so the jitted impl re-traces on a flip. Direct
+    _flash_attention_packed_impl calls without fused_psum= freeze the value
+    at their first trace (jit cache keys on the None default)."""
+    return _os.environ.get("VIDSEG_FLASH_FUSED_PSUM", "1") == "1"
 
 # Trace-time kernel-dispatch log. When set to a list (tests/tpu smoke test),
 # every Pallas-kernel dispatch appends {"kind", shape/params} as it is traced,
@@ -320,7 +328,7 @@ def _flash_attention_impl(
 
 
 def _flash_kernel_packed(q_ref, k_ref, v_ref, o_ref, *rest, kv_len, block_k,
-                         heads, d, save_lse=False):
+                         heads, d, save_lse=False, fused_psum=True):
     """All-heads flash tile on PACKED [bq, H·D] blocks.
 
     Consumes the q/k/v projections in their matmul-native [B, L, H·D]
@@ -366,7 +374,7 @@ def _flash_kernel_packed(q_ref, k_ref, v_ref, o_ref, *rest, kv_len, block_k,
         m_prev = m_ref[:, hh:hh + 1]
         l_prev = l_ref[:, hh:hh + 1]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
-        if _FUSED_PSUM:
+        if fused_psum:
             # fold the softmax denominator into the P·V dot: append a ones
             # column to the head's v slice, so the MXU pass emits [pv | Σp]
             # in one shot and the VPU sum-reduce over the [bq, bk] logits
@@ -380,7 +388,7 @@ def _flash_kernel_packed(q_ref, k_ref, v_ref, o_ref, *rest, kv_len, block_k,
             )
         if nkb == 1:
             p = jnp.exp2(s - m_cur)
-            if _FUSED_PSUM:
+            if fused_psum:
                 pv_ext = jax.lax.dot_general(
                     p.astype(v.dtype), ve, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -398,7 +406,7 @@ def _flash_kernel_packed(q_ref, k_ref, v_ref, o_ref, *rest, kv_len, block_k,
         else:
             m_next = jnp.maximum(m_prev, m_cur)
             p = jnp.exp2(s - m_next)
-            if _FUSED_PSUM:
+            if fused_psum:
                 pv_ext = jax.lax.dot_general(
                     p.astype(v.dtype), ve, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -429,7 +437,7 @@ def _flash_kernel_packed(q_ref, k_ref, v_ref, o_ref, *rest, kv_len, block_k,
 @functools.partial(
     jax.jit,
     static_argnames=("heads", "scale", "block_q", "block_k", "interpret",
-                     "save_lse"),
+                     "save_lse", "fused_psum"),
 )
 def _flash_attention_packed_impl(
     q: jax.Array,   # [B, L, H*D]
@@ -441,6 +449,7 @@ def _flash_attention_packed_impl(
     block_k: Optional[int] = None,
     interpret: bool = False,
     save_lse: bool = False,
+    fused_psum: Optional[bool] = None,
 ) -> jax.Array:
     """Flash attention on packed [B, L, H·D] projections (zero relayout).
 
@@ -454,6 +463,8 @@ def _flash_attention_packed_impl(
     assert heads * d == hd, (heads, hd)
     if scale is None:
         scale = 1.0 / math.sqrt(d)
+    if fused_psum is None:
+        fused_psum = _fused_psum_enabled()
 
     if block_q is None:
         block_q = max(
@@ -516,7 +527,7 @@ def _flash_attention_packed_impl(
     res = pl.pallas_call(
         functools.partial(
             _flash_kernel_packed, kv_len=lk, block_k=block_k, heads=heads,
-            d=d, save_lse=save_lse,
+            d=d, save_lse=save_lse, fused_psum=fused_psum,
         ),
         grid=grid,
         in_specs=[
@@ -606,17 +617,41 @@ def _sba_vmem_bytes(fold: int, lq: int, lk: int, hd: int,
     return io + pen + 2 * per_head
 
 
+def _sba_bwd_vmem_bytes(fold: int, lq: int, lk: int, hd: int,
+                        itemsize: int = 2) -> int:
+    """Modeled scoped-VMEM demand of one `_small_seq_bwd_kernel` program.
+
+    The backward's live set exceeds the forward's (`_sba_vmem_bytes`): five
+    input row/col blocks (q, k, v, g, out) and three output blocks (dq, dk,
+    dv), all double-buffered and lane-padded, the shared f32 penalty buffer,
+    and per-head f32 s2/e/p, dp, ds, delta plus the p/ds dtype casts feeding
+    the MXU dots — counted twice for Mosaic's pipelining of the unrolled
+    heads loop. Using the forward model here (the pre-r5 behavior) under-
+    counted this inventory, the same failure mode that caused the BENCH_r03
+    in-context VMEM crash on the forward kernel."""
+    rows, cols = fold * lq, fold * lk
+    lanes = _round_up(hd, 128)
+    io = 2 * (4 * rows + 4 * cols) * lanes * itemsize
+    cell = rows * cols * 4
+    pen = cell
+    # s2, e/p (reused), dp, ds in f32 + p/ds casts to the input dtype
+    per_head = 4 * cell + 2 * (cell // 2)
+    return io + pen + 2 * per_head
+
+
 def _best_fold(b: int, lq: int, lk: int, hd: int, itemsize: int = 2,
-               rows_cap: int = 512) -> int:
+               rows_cap: int = 512, model=None) -> int:
     """Largest divisor of B whose folded tile fits the rows cap AND the
-    scoped-VMEM budget per `_sba_vmem_bytes` (full allocation inventory,
+    scoped-VMEM budget per `model` (default `_sba_vmem_bytes`; the backward
+    dispatcher passes `_sba_bwd_vmem_bytes` — full allocation inventory,
     ≥25% margin under the kernel's explicit vmem_limit_bytes)."""
     cap = max(1, rows_cap // max(lq, lk))
     budget = (_KERNEL_VMEM_LIMIT * 3) // 4
+    model = model or _sba_vmem_bytes
     for f in range(cap, 0, -1):
         if b % f:
             continue
-        if _sba_vmem_bytes(f, lq, lk, hd, itemsize) <= budget:
+        if model(f, lq, lk, hd, itemsize) <= budget:
             return f
     return 1
 
@@ -1101,10 +1136,23 @@ def _small_batched_attention_bwd_impl(
     lk = k.shape[1]
     if scale is None:
         scale = 1.0 / math.sqrt(d)
-    if fold is None:
-        fold = _best_fold(b, lq, lk, h * d, q.dtype.itemsize)
-    assert b % fold == 0, (b, fold)
     hd = h * d
+    if fold is None:
+        fold = _best_fold(b, lq, lk, hd, q.dtype.itemsize,
+                          model=_sba_bwd_vmem_bytes)
+    else:
+        # the caller's fold came from the FORWARD vmem model (the vjp reuses
+        # the forward dispatch's fold); shrink to the largest divisor of B
+        # whose backward live set fits — on the compile-smoked swan train
+        # shapes the two budgets admit the same fold, but shapes outside
+        # them must not exceed scoped VMEM here
+        budget = (_KERNEL_VMEM_LIMIT * 3) // 4
+        while fold > 1 and (
+            b % fold
+            or _sba_bwd_vmem_bytes(fold, lq, lk, hd, q.dtype.itemsize) > budget
+        ):
+            fold -= 1
+    assert b % fold == 0, (b, fold)
     qf = (q * jnp.asarray(scale * _LOG2_E, q.dtype)).reshape(
         b // fold, fold * lq, hd
     )
@@ -1176,7 +1224,7 @@ def _fa_fwd(scale, block_q, block_k, interpret, layout, q, k, v):
         out_f, lse = _flash_attention_packed_impl(
             flat(qt, lq), flat(kt, lk), flat(vt, lk), heads=1, scale=scale,
             block_q=block_q, block_k=block_k, interpret=interpret,
-            save_lse=True,
+            save_lse=True, fused_psum=_fused_psum_enabled(),
         )
         out = out_f.reshape(b, h, lq, d)
         if layout == "blhd":
@@ -1226,14 +1274,14 @@ def flash_attention(q, k, v, scale=None, block_q=None, block_k=None,
 def _fap(heads, scale, block_q, block_k, interpret, q, k, v):
     return _flash_attention_packed_impl(
         q, k, v, heads, scale=scale, block_q=block_q, block_k=block_k,
-        interpret=interpret,
+        interpret=interpret, fused_psum=_fused_psum_enabled(),
     )
 
 
 def _fap_fwd(heads, scale, block_q, block_k, interpret, q, k, v):
     out, lse = _flash_attention_packed_impl(
         q, k, v, heads, scale=scale, block_q=block_q, block_k=block_k,
-        interpret=interpret, save_lse=True,
+        interpret=interpret, save_lse=True, fused_psum=_fused_psum_enabled(),
     )
     return out, (q, k, v, out, lse)
 

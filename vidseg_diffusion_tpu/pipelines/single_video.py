@@ -71,7 +71,13 @@ class VidSegArgs:
     is_aggre_attn: bool = False
     feature_folder: str = "features_outputs"
     inversion_type: str = "add_noise"
-    runs_chunk: int = 2
+    # single-chip runs dispatch: 1 = per-step host dispatch with each run's
+    # DECODE enqueued as soon as its denoise finishes (no decode stage
+    # bubble); >1 = chunked whole-run programs. Default 1: chunk=2 measured
+    # ZERO step-time win (the 28-frame CFG batch already saturates the MXU,
+    # ROUND_NOTES r1) while forfeiting the interleaved decode (the r4 sweep
+    # paid a visible 60 s decode stage for it — BENCH_SWEEP r4 vs r5)
+    runs_chunk: int = 1
     # injected q/k caches larger than this stay in HOST RAM and stream per
     # step (v5e 16 GB cannot hold the ~8.7 GB swan-scale injected cache next
     # to the 3 GB params + runs working set)
@@ -320,23 +326,36 @@ def run_single_video(
     if video:
         image = frames_j[:1]
         r_aug, rng = jax.random.split(rng)[0], jax.random.fold_in(rng, 1)
-        batch = {
-            "cond_frames_without_noise": image,
-            "cond_frames": image
-            + args.cond_aug * jax.random.normal(r_aug, image.shape),
-            "fps_id": jnp.array([float(args.fps_id)]),
-            "motion_bucket_id": jnp.array([float(args.motion_bucket_id)]),
-            "cond_aug": jnp.array([args.cond_aug]),
-        }
-        c1, uc1 = pipeline.conditioner.get_unconditional_conditioning(
-            batch,
-            force_uc_zero_embeddings=["cond_frames", "cond_frames_without_noise"],
-        )
+        if pipeline.condition_video is not None:
+            # one fused dispatch (CLIP + cond-VAE + scalar embs + repeat);
+            # numerically identical to the Conditioner path below
+            c, uc = pipeline.condition_video(
+                image, r_aug,
+                jnp.array([float(args.fps_id)]),
+                jnp.array([float(args.motion_bucket_id)]),
+                jnp.array([args.cond_aug]),
+                t,
+            )
+        else:
+            batch = {
+                "cond_frames_without_noise": image,
+                "cond_frames": image
+                + args.cond_aug * jax.random.normal(r_aug, image.shape),
+                "fps_id": jnp.array([float(args.fps_id)]),
+                "motion_bucket_id": jnp.array([float(args.motion_bucket_id)]),
+                "cond_aug": jnp.array([args.cond_aug]),
+            }
+            c1, uc1 = pipeline.conditioner.get_unconditional_conditioning(
+                batch,
+                force_uc_zero_embeddings=[
+                    "cond_frames", "cond_frames_without_noise",
+                ],
+            )
 
-        def per_frame(d):
-            return {k: jnp.repeat(v, t, axis=0) for k, v in d.items()}
+            def per_frame(d):
+                return {k: jnp.repeat(v, t, axis=0) for k, v in d.items()}
 
-        c, uc = per_frame(c1), per_frame(uc1)
+            c, uc = per_frame(c1), per_frame(uc1)
         _mark("conditioning", *c.values(), *uc.values())
     else:
         assert text_tokens is not None, "SD path needs tokenized text"
