@@ -165,6 +165,21 @@ def build_train(remat: bool = True, t: int = 14, h: int = 56, w: int = 104,
     )
 
 
+def probe_b14() -> None:
+    """AOT-compile the b=14 (no-CFG, --videos 1) train step and print
+    B14_OK. Run in a SUBPROCESS: the known failure mode is the remote
+    tpu_compile_helper dying with SIGSEGV on this one program (every
+    dispatched kernel compiles standalone; 1.46 MB MLIR, helper-side
+    fibers-stack-overflow hypothesis — ROUND_NOTES 'b=14 AOT SIGSEGV').
+    tests/tpu/test_compile_smoke.py runs this probe and skips-with-reason
+    while the environment bug persists, so a fixed helper is detected
+    automatically on the next hardware run."""
+    built = build_train(remat=True, n_videos=1)
+    step = jax.jit(built["step"], donate_argnums=(0,))
+    step.lower(built["params"], built["rng"], built["batch"]).compile()
+    print("B14_OK", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=4)
@@ -172,11 +187,18 @@ def main():
     ap.add_argument("--videos", type=int, default=1,
                     help="videos stacked along batch (UNet batch=videos*14)")
     ap.add_argument("--out", default="BENCH_TRAIN.json")
+    ap.add_argument("--probe-b14", action="store_true",
+                    help="compile the b=14 train step and exit (subprocess "
+                    "canary for the known tpu_compile_helper SIGSEGV)")
     args = ap.parse_args()
 
     os.makedirs(".jax_cache", exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", ".jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    if args.probe_b14:
+        probe_b14()
+        return
 
     import numpy as np
 

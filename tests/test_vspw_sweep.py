@@ -109,6 +109,62 @@ def test_multiwindow_gt_state_carry(tiny_pipeline, tmp_path):
         assert set(np.unique(seg)) <= {1, 2}, name
 
 
+def test_sweep_data_runs_mesh_equals_unsharded(tiny_pipeline, tmp_path):
+    """run_vspw_sweep under a ('data','runs') mesh — videos round-robin over
+    2 device groups, each video's runs grid sharded over its group's 4
+    devices — produces the same label maps as the unsharded per-video run
+    (the §2.6 pod-scale layout; supersedes the reference's manual
+    --exp_start_idx/--num_exp job slicing, sd_pipeline_vspw.py:651-652)."""
+    import dataclasses
+
+    import jax
+
+    from vidseg_diffusion_tpu.parallel.mesh import make_mesh
+
+    assert jax.device_count() >= 8  # conftest's virtual CPU mesh
+    root = str(tmp_path / "data")
+    _make_video(root, "vid_a", seed=0)
+    _make_video(root, "vid_b", seed=1)
+    args = _args(tmp_path)
+
+    mesh = make_mesh(8, axes=("data", "runs"), shape=(2, 4))
+    out = run_vspw_sweep(
+        tiny_pipeline, root, ["vid_a", "vid_b"], args,
+        num_frames=T_WINDOW, num_classes=4, mesh=mesh,
+    )
+    assert out["videos_done"] == 2 and not out["videos_failed"]
+    assert "mIoU" in out
+
+    # unsharded single-device-dispatch baseline, same videos
+    base_args = dataclasses.replace(args, mesh="off")
+    for vname in ("vid_a", "vid_b"):
+        res_base = run_vspw_video(
+            tiny_pipeline, os.path.join(root, vname, "origin"), base_args,
+            num_frames=T_WINDOW,
+        )
+        res_mesh = run_vspw_video(
+            tiny_pipeline, os.path.join(root, vname, "origin"), args,
+            num_frames=T_WINDOW,
+            mesh=_group_of(mesh, 0 if vname == "vid_a" else 1),
+        )
+        assert res_mesh.seg.keys() == res_base.seg.keys()
+        np.testing.assert_array_equal(
+            res_mesh.unique_labels, res_base.unique_labels
+        )
+        for name in res_base.seg:
+            # float-tolerance latent agreement + the uint8-wrap diff quirk
+            # → compare by agreement, not bit-equality (see
+            # test_runs_dispatch_equiv.test_run_single_video_mesh_equals_host)
+            agree = (res_mesh.seg[name] == res_base.seg[name]).mean()
+            assert agree > 0.95, (vname, name, agree)
+
+
+def _group_of(mesh, g):
+    from vidseg_diffusion_tpu.pipelines.vspw import _mesh_groups
+
+    return _mesh_groups(mesh)[g]
+
+
 def test_process_slice_balanced():
     from unittest import mock
 

@@ -183,3 +183,35 @@ def test_train_groupnorm_backward_kernels_compile():
             os.environ.pop("VIDSEG_PALLAS_GN_BWD", None)
         else:
             os.environ["VIDSEG_PALLAS_GN_BWD"] = prev
+
+
+@pytest.mark.slow
+def test_train_b14_program_compiles_or_known_helper_crash():
+    """Canary for the b=14 (no-CFG, --videos 1) train-step AOT SIGSEGV.
+
+    Environment bug, not a product bug: the FULL b=14 train program crashes
+    the remote tpu_compile_helper subprocess with SIGSEGV while every
+    dispatched kernel compiles standalone (b=28 compiles and runs —
+    BENCH_TRAIN.json). Repro + hypothesis: ROUND_NOTES.md 'b=14 AOT
+    SIGSEGV'. This runs the probe in a subprocess so the crash cannot take
+    the suite down: while the helper is broken the test SKIPS with the
+    exit status; the day the environment is fixed it PASSES and b=14 train
+    triage is unblocked (update ROUND_NOTES when that happens)."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts/tests/train_bench.py"),
+         "--probe-b14"],
+        capture_output=True, text=True, timeout=1200,
+        env={**os.environ, "VIDSEG_TESTS_TPU": "1"},
+    )
+    if proc.returncode == 0 and "B14_OK" in proc.stdout:
+        return  # helper fixed — b=14 triage is unblocked
+    pytest.skip(
+        "known environment bug still present: b=14 train-step AOT compile "
+        f"failed (rc={proc.returncode}; SIGSEGV in tpu_compile_helper — "
+        f"see ROUND_NOTES.md 'b=14 AOT SIGSEGV'). tail: "
+        f"{proc.stderr[-300:]!r}"
+    )

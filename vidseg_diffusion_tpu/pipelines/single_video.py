@@ -278,6 +278,9 @@ def run_single_video(
     write_outputs: bool = True,
     mask_override: Optional[np.ndarray] = None,  # [K, T, fh*fw] precomputed masks
     timings: Optional[Dict[str, float]] = None,  # out-param: per-stage seconds
+    mesh=None,  # explicit runs-axis Mesh (a device GROUP of a larger
+    # ('data','runs') sweep mesh); overrides args.mesh device discovery so a
+    # sweep can pin each video to its data-group's devices
 ) -> VidSegResult:
     def _mark(stage, *arrays):
         # stage timing: block on the stage's outputs so lazy dispatch doesn't
@@ -388,7 +391,11 @@ def run_single_video(
     # same per-device budget applies under a mesh — the cache is replicated
     # per device there, and the sharded-stepped dispatch streams it from
     # host RAM exactly like the single-chip path.
-    use_mesh = args.mesh == "runs" or (args.mesh == "auto" and jax.device_count() > 1)
+    use_mesh = (
+        mesh is not None
+        or args.mesh == "runs"
+        or (args.mesh == "auto" and jax.device_count() > 1)
+    )
     host_names: Tuple[str, ...] = ()
     if args.is_injected_features:
         est = estimate_injected_cache_bytes(
@@ -515,12 +522,12 @@ def run_single_video(
     # step 4 reuses the step-1 latent (add_noise output or inversion output;
     # the reference passes the same `latent` to every sample_video call,
     # svd_single_video_inference.py:497)
-    mesh = None
     interleaved: Dict[int, jnp.ndarray] = {}
     if use_mesh:
-        from vidseg_diffusion_tpu.parallel.mesh import make_mesh
+        if mesh is None:
+            from vidseg_diffusion_tpu.parallel.mesh import make_mesh
 
-        mesh = make_mesh(axes=("runs",), shape=(jax.device_count(),))
+            mesh = make_mesh(axes=("runs",), shape=(jax.device_count(),))
         if host_inj is not None:
             # oversized injected cache: host-stepped under the mesh — each
             # step's slice streams host→devices replicated, the runs grid

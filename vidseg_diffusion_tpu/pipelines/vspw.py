@@ -82,6 +82,7 @@ def run_vspw_video(
     use_gt_mask: bool = True,
     timings: Optional[Dict[str, float]] = None,  # out-param: per-stage
     # seconds accumulated across the video's sliding batches
+    mesh=None,  # explicit runs-axis device group (see run_single_video)
 ) -> VSPWVideoResult:
     paths = list_video_frames(video_dir)
     frames_all, names_all, ori_hw = load_frames(paths)
@@ -118,6 +119,7 @@ def run_vspw_video(
             text_tokens=text_tokens,
             write_outputs=False,
             timings=batch_timings,
+            mesh=mesh,
         )
         if timings is not None:
             for k, v in batch_timings.items():
@@ -133,6 +135,27 @@ def run_vspw_video(
     return VSPWVideoResult(seg=seg_out, unique_labels=unique_labels)
 
 
+def _mesh_groups(mesh) -> List:
+    """Split a ('data','runs') sweep mesh into its per-group runs meshes.
+
+    Returns [None] for mesh=None (per-video auto discovery), [mesh] when
+    there is no 'data' axis (or it has size 1), and one runs-axis Mesh per
+    'data' row otherwise."""
+    if mesh is None:
+        return [None]
+    if "data" not in mesh.axis_names:
+        return [mesh]
+    from jax.sharding import Mesh
+    import numpy as _np
+
+    d_axis = mesh.axis_names.index("data")
+    dev = _np.moveaxis(_np.asarray(mesh.devices), d_axis, 0)
+    d = dev.shape[0]
+    if d <= 1:
+        return [Mesh(dev.reshape(-1), ("runs",))]
+    return [Mesh(dev[g].reshape(-1), ("runs",)) for g in range(d)]
+
+
 def run_vspw_sweep(
     pipeline: Pipeline,
     data_root: str,
@@ -146,6 +169,7 @@ def run_vspw_sweep(
     evaluate: bool = True,
     manifest_path: Optional[str] = None,
     process_shard: bool = False,
+    mesh=None,
 ) -> Dict:
     """Sweep the val split, skipping failed videos (svd_pipeline_vspw.py
     :651-676), optionally scoring against GT masks.
@@ -155,13 +179,20 @@ def run_vspw_sweep(
     reference's implicit resume-by-artifacts-on-disk + manual
     --exp_start_idx bookkeeping (SURVEY.md §5).
 
-    Scale-out layout: within one process each video's 2·num_masks modulated
-    runs shard over the local 'runs' device mesh (run_single_video
-    mesh='auto' — at VSPW defaults that is a 40-wide grid, saturating a
-    v5p-8 per video); `process_shard=True` additionally slices the video
-    list across `jax.process_count()` hosts (DCN data parallelism, no
-    cross-video communication exists to lose)."""
+    Scale-out layout (SURVEY §2.6 ('data','runs') mesh): pass `mesh` with
+    axes ('data','runs') to shard the sweep itself — videos round-robin
+    over the D 'data'-axis device groups (one host thread per group keeps
+    every group's dispatch queue full; videos share nothing, so groups
+    never communicate), and within a group each video's 2·num_masks
+    (mask, ±λ) modulated runs shard over that group's 'runs' devices. A
+    mesh with only a 'runs' axis pins the whole sweep to those devices
+    serially. With `mesh=None`, each video uses run_single_video's
+    mesh='auto' discovery (all local devices as one runs group).
+    `process_shard=True` additionally slices the video list across
+    `jax.process_count()` hosts (DCN data parallelism) — the multi-host
+    analogue of the in-process 'data' axis."""
     import json
+    import threading
 
     names = list(video_names)[exp_start_idx:]
     if num_exp is not None:
@@ -182,6 +213,8 @@ def run_vspw_sweep(
                 except Exception:
                     continue
 
+    lock = threading.Lock()  # journal file + evaluator + counters
+
     def journal(rec):
         if manifest_path:
             os.makedirs(os.path.dirname(manifest_path) or ".", exist_ok=True)
@@ -189,31 +222,56 @@ def run_vspw_sweep(
                 f.write(json.dumps(rec) + "\n")
 
     evaluator = SegmentationEvaluator(num_classes) if evaluate else None
-    done, failed, skipped, evaluated = 0, [], 0, 0
-    for vname in names:
-        if vname in already:
-            skipped += 1
-            continue
+    state = {"done": 0, "evaluated": 0}
+    failed: List[Tuple[str, str]] = []
+    skipped = sum(1 for v in names if v in already)
+    todo = [v for v in names if v not in already]
+
+    def run_one(vname: str, group_mesh) -> None:
         video_dir = os.path.join(data_root, vname, "origin")
         try:
             res = run_vspw_video(
                 pipeline, video_dir, args, num_frames=num_frames,
-                text_tokens=text_tokens,
+                text_tokens=text_tokens, mesh=group_mesh,
             )
             if evaluator is not None:
                 # evaluate BEFORE journaling done: an eval exception must
                 # journal the video as failed, not both done and failed
                 pred, gt = _load_gt_for_eval(video_dir, res)
                 if pred is not None:
-                    evaluator.add_video(pred, gt)
-                    evaluated += 1
-            done += 1
-            journal({"video": vname, "status": "done"})
+                    with lock:
+                        evaluator.add_video(pred, gt)
+                        state["evaluated"] += 1
+            with lock:
+                state["done"] += 1
+                journal({"video": vname, "status": "done"})
         except Exception as e:  # per-video fault isolation
             traceback.print_exc()
-            failed.append((vname, str(e)))
-            journal({"video": vname, "status": "failed", "error": str(e)})
-            continue
+            with lock:
+                failed.append((vname, str(e)))
+                journal({"video": vname, "status": "failed", "error": str(e)})
+
+    groups = _mesh_groups(mesh)
+    if len(groups) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        # one thread per device group; group g serially processes videos
+        # g, g+D, g+2D, ... (deterministic assignment so manifest resume
+        # and the round-robin layout are reproducible)
+        with ThreadPoolExecutor(max_workers=len(groups)) as ex:
+            futs = [
+                ex.submit(
+                    lambda g: [run_one(v, groups[g]) for v in todo[g::len(groups)]],
+                    g,
+                )
+                for g in range(len(groups))
+            ]
+            for f in futs:
+                f.result()
+    else:
+        for vname in todo:
+            run_one(vname, groups[0])
+    done, evaluated = state["done"], state["evaluated"]
     out = {"videos_done": done, "videos_failed": failed, "videos_skipped": skipped}
     if evaluator is not None and evaluator.has_videos:
         out.update(evaluator.results())
