@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 
 def build_train(remat: bool = True, t: int = 14, h: int = 56, w: int = 104,
-                n_videos: int = 1):
+                n_videos: int = 1, remat_policy=None):
     """Build the swan-shape training fwd/step closures + synthetic state.
 
     Returns dict(fwd=, step=, params=, rng=, batch=, n_params=). fwd/step
@@ -53,6 +53,7 @@ def build_train(remat: bool = True, t: int = 14, h: int = 56, w: int = 104,
         attention_resolutions=(4, 2, 1), channel_mult=(1, 2, 4, 4),
         num_head_channels=64, context_dim=1024, adm_in_channels=768,
         video=True, dtype=jnp.bfloat16, remat=remat,
+        remat_policy=remat_policy,
     )
     unet = UNetModel(cfg)
 
@@ -187,6 +188,10 @@ def main():
     ap.add_argument("--videos", type=int, default=1,
                     help="videos stacked along batch (UNet batch=videos*14)")
     ap.add_argument("--out", default="BENCH_TRAIN.json")
+    ap.add_argument("--remat-policy", default=None,
+                    help="jax.checkpoint_policies name for selective remat "
+                    "(e.g. dots_with_no_batch_dims_saveable); default full "
+                    "per-block recompute")
     ap.add_argument("--probe-b14", action="store_true",
                     help="compile the b=14 train step and exit (subprocess "
                     "canary for the known tpu_compile_helper SIGSEGV)")
@@ -202,7 +207,10 @@ def main():
 
     import numpy as np
 
-    built = build_train(remat=bool(args.remat), n_videos=args.videos)
+    built = build_train(
+        remat=bool(args.remat), n_videos=args.videos,
+        remat_policy=args.remat_policy,
+    )
     t, h, w = built["shape"]
     print(
         f"params: {built['n_params']/1e9:.2f}B bf16 (remat={bool(args.remat)})",
@@ -261,6 +269,7 @@ def main():
     result = {
         "shape": f"[{args.videos}x{t},{h},{w}] bf16 swan latents, "
                  f"{'remat' if args.remat else 'no-remat'} 1.52B VideoUNet",
+        "remat_policy": args.remat_policy,
         "fwd_ms": round(fwd_nr_s * 1e3, 1),
         "fwd_remat_ms": round(fwd_s * 1e3, 1),
         "step_ms": round(step_s * 1e3, 1),

@@ -178,3 +178,33 @@ def test_remat_train_step_runs():
     state, logs = jax.jit(step)(state, jax.random.PRNGKey(1), batch, cond)
     assert np.isfinite(float(logs["loss"]))
     assert int(state.step) == 1
+
+
+@pytest.mark.slow  # two grad compiles of the tiny image UNet (~90 s CPU)
+def test_remat_policy_grads_match():
+    """Selective remat (remat_policy="dots_with_no_batch_dims_saveable")
+    must change only the VJP's save/recompute schedule — values and grads
+    identical to the plain remat and no-remat models."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        _tiny_cfg(video=False, remat=True),
+        remat_policy="dots_with_no_batch_dims_saveable",
+    )
+    model = UNetModel(cfg)
+    args, kw = _inputs(False)
+    base = UNetModel(_tiny_cfg(False, False))
+    params = base.init(jax.random.PRNGKey(7), *args, **kw)["params"]
+
+    def loss(p, m):
+        return jnp.sum(m.apply({"params": p}, *args, **kw) ** 2)
+
+    v0, g0 = jax.jit(jax.value_and_grad(lambda p: loss(p, base)))(params)
+    v1, g1 = jax.jit(jax.value_and_grad(lambda p: loss(p, model)))(params)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
+        ),
+        g0, g1,
+    )

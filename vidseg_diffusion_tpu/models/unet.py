@@ -90,6 +90,14 @@ class UNetConfig:
     # reference YAMLs' use_checkpoint: True costs inference nothing and
     # gives training the same memory/flops trade.
     remat: bool = False
+    # selective remat: name of a jax.checkpoint_policies entry (e.g.
+    # "dots_with_no_batch_dims_saveable") — the per-block VJP then SAVES the
+    # policy's values instead of recomputing everything. None = the default
+    # nothing_saveable (full per-block recompute, the reference
+    # torch.utils.checkpoint semantics, attention.py:599). Pallas-attention
+    # residuals (LSE) live inside the kernels' custom_vjp and are saved
+    # regardless of policy.
+    remat_policy: Optional[str] = None
 
     @property
     def num_blocks(self) -> int:
@@ -448,10 +456,16 @@ class UNetModel(nn.Module):
         # per-block rematerialization (static_argnums count self as 0; the
         # static slots are the num_video_frames / timesteps ints)
         if cfg.remat:
-            _Res = nn.remat(ResBlock)
-            _VRes = nn.remat(VideoResBlock, static_argnums=(3,))
-            _ST = nn.remat(SpatialTransformer)
-            _SVT = nn.remat(SpatialVideoTransformer, static_argnums=(3,))
+            policy = (
+                getattr(jax.checkpoint_policies, cfg.remat_policy)
+                if cfg.remat_policy else None
+            )
+            _Res = nn.remat(ResBlock, policy=policy)
+            _VRes = nn.remat(VideoResBlock, static_argnums=(3,), policy=policy)
+            _ST = nn.remat(SpatialTransformer, policy=policy)
+            _SVT = nn.remat(
+                SpatialVideoTransformer, static_argnums=(3,), policy=policy
+            )
         else:
             _Res, _VRes = ResBlock, VideoResBlock
             _ST, _SVT = SpatialTransformer, SpatialVideoTransformer

@@ -318,13 +318,34 @@ def _gn_bwd_pallas(x, gy, scale, mean, inv, groups, interpret=False):
     return dx[:, :m].reshape(shape), dscale, dbias
 
 
+def _gn_stats_variadic() -> bool:
+    """One variadic reduce for (Σx, Σx²) instead of two jnp.sum calls.
+
+    MEASURED LOSS (r5 swan bench A/B, serialized): variadic 506.9 ms /
+    27.62 f/s vs two-pass 494.2 ms / 28.33 — the variadic reduce comes out
+    +12.7 ms/step SLOWER. PROFILE_UNET's 80 %convert_reduce calls are not
+    two wasted passes: XLA already fuses the (Σx, Σx²) pair into one
+    kernel where profitable, and the explicit variadic form instead blocks
+    the convert_reduce fusion patterns it otherwise picks. Default OFF
+    (VIDSEG_GN_STATS=variadic opts in); read per trace."""
+    import os
+
+    return os.environ.get("VIDSEG_GN_STATS", "two_pass") == "variadic"
+
+
 def _gn_core(x, scale, bias, groups, eps, silu):
     """group_norm_xla math, also returning the (mean, inv) [B, G] stats."""
     b, c = x.shape[0], x.shape[-1]
     red = tuple(range(1, x.ndim - 1))
     xf = x.astype(jnp.float32)
-    s = jnp.sum(xf, axis=red)          # [B, C]
-    ss = jnp.sum(xf * xf, axis=red)    # [B, C]
+    if _gn_stats_variadic():
+        s, ss = jax.lax.reduce(
+            (xf, xf * xf), (jnp.float32(0), jnp.float32(0)),
+            lambda a, v: (a[0] + v[0], a[1] + v[1]), red,
+        )                              # [B, C] each, one pass over x
+    else:
+        s = jnp.sum(xf, axis=red)          # [B, C]
+        ss = jnp.sum(xf * xf, axis=red)    # [B, C]
     n = (x.size // (b * c)) * (c // groups)
     gs = s.reshape(b, groups, -1).sum(-1)    # [B, G]
     gss = ss.reshape(b, groups, -1).sum(-1)
