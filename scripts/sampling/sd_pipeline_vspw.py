@@ -49,6 +49,10 @@ def parse_args():
     p.add_argument("--no_eval", default=False, action="store_true")
     p.add_argument("--manifest", type=str, default=None,
                    help="JSON-lines resume journal; completed videos are skipped on re-run")
+    p.add_argument("--data_groups", type=int, default=1,
+                   help="shard the sweep over N 'data'-axis device groups "
+                   "(videos round-robin; each video's runs grid shards over "
+                   "its group's devices)")
     return p.parse_args()
 
 
@@ -113,13 +117,29 @@ def main():
         runs_chunk=args.runs_chunk,
         sd_blend_window=True,  # latent_mask_end = min(mt)+1 (sd_pipeline_vspw.py:490)
     )
+    mesh = None
+    if args.data_groups > 1:
+        import jax
+
+        from vidseg_diffusion_tpu.parallel.mesh import make_mesh
+
+        nd = jax.device_count()
+        if nd % args.data_groups:
+            raise SystemExit(
+                f"--data_groups {args.data_groups} must divide the "
+                f"{nd} visible devices"
+            )
+        mesh = make_mesh(
+            nd, axes=("data", "runs"),
+            shape=(args.data_groups, nd // args.data_groups),
+        )
     out = run_vspw_sweep(
         pipeline, args.data_root, names, vargs,
         num_frames=args.num_frames,
         exp_start_idx=args.exp_start_idx, num_exp=args.num_exp,
         text_tokens=tokenize_empty(1),
         num_classes=args.num_classes, evaluate=not args.no_eval,
-        manifest_path=args.manifest,
+        manifest_path=args.manifest, mesh=mesh,
     )
     print(json.dumps(out, default=str))
 

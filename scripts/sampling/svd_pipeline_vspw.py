@@ -52,6 +52,12 @@ def parse_args():
     p.add_argument("--no_eval", default=False, action="store_true")
     p.add_argument("--manifest", type=str, default=None,
                    help="JSON-lines resume journal; completed videos are skipped on re-run")
+    p.add_argument("--data_groups", type=int, default=1,
+                   help="shard the sweep over N 'data'-axis device groups "
+                   "(videos round-robin; each video's runs grid shards over "
+                   "its group's devices). 1 = all local devices as one "
+                   "group. TPU-native replacement for manual "
+                   "--exp_start_idx/--num_exp job slicing.")
     return p.parse_args()
 
 
@@ -116,12 +122,28 @@ def main():
         feature_folder=args.feature_folder,
         runs_chunk=args.runs_chunk,
     )
+    mesh = None
+    if args.data_groups > 1:
+        import jax
+
+        from vidseg_diffusion_tpu.parallel.mesh import make_mesh
+
+        nd = jax.device_count()
+        if nd % args.data_groups:
+            raise SystemExit(
+                f"--data_groups {args.data_groups} must divide the "
+                f"{nd} visible devices"
+            )
+        mesh = make_mesh(
+            nd, axes=("data", "runs"),
+            shape=(args.data_groups, nd // args.data_groups),
+        )
     out = run_vspw_sweep(
         pipeline, args.data_root, names, vargs,
         num_frames=args.num_frames,
         exp_start_idx=args.exp_start_idx, num_exp=args.num_exp,
         num_classes=args.num_classes, evaluate=not args.no_eval,
-        manifest_path=args.manifest,
+        manifest_path=args.manifest, mesh=mesh,
     )
     print(json.dumps(out, default=str))
 

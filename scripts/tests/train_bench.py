@@ -201,6 +201,10 @@ def main():
     jax.config.update("jax_compilation_cache_dir", ".jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
+    if args.remat_policy == "save_conv":
+        # tag conv outputs so save_only_these_names('conv_out') sees them
+        os.environ["VIDSEG_CKPT_NAME_CONVS"] = "1"
+
     if args.probe_b14:
         probe_b14()
         return

@@ -208,3 +208,32 @@ def test_remat_policy_grads_match():
         ),
         g0, g1,
     )
+
+
+@pytest.mark.slow  # two grad compiles (~90 s CPU)
+def test_remat_policy_save_conv_grads_match(monkeypatch):
+    """remat_policy='save_conv' (checkpoint_name-tagged conv outputs +
+    save_only_these_names) — grads identical to the no-remat model."""
+    import dataclasses
+
+    monkeypatch.setenv("VIDSEG_CKPT_NAME_CONVS", "1")
+    cfg = dataclasses.replace(
+        _tiny_cfg(video=False, remat=True), remat_policy="save_conv"
+    )
+    model = UNetModel(cfg)
+    args, kw = _inputs(False)
+    base = UNetModel(_tiny_cfg(False, False))
+    params = base.init(jax.random.PRNGKey(7), *args, **kw)["params"]
+
+    def loss(p, m):
+        return jnp.sum(m.apply({"params": p}, *args, **kw) ** 2)
+
+    v0, g0 = jax.jit(jax.value_and_grad(lambda p: loss(p, base)))(params)
+    v1, g1 = jax.jit(jax.value_and_grad(lambda p: loss(p, model)))(params)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
+        ),
+        g0, g1,
+    )

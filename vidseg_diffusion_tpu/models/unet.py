@@ -92,11 +92,12 @@ class UNetConfig:
     remat: bool = False
     # selective remat: name of a jax.checkpoint_policies entry (e.g.
     # "dots_with_no_batch_dims_saveable") — the per-block VJP then SAVES the
-    # policy's values instead of recomputing everything. None = the default
-    # nothing_saveable (full per-block recompute, the reference
-    # torch.utils.checkpoint semantics, attention.py:599). Pallas-attention
-    # residuals (LSE) live inside the kernels' custom_vjp and are saved
-    # regardless of policy.
+    # policy's values instead of recomputing everything. The special value
+    # "save_conv" saves the checkpoint_name-tagged conv outputs (_tag_conv;
+    # needs VIDSEG_CKPT_NAME_CONVS=1). None = the default nothing_saveable
+    # (full per-block recompute, the reference torch.utils.checkpoint
+    # semantics, attention.py:599). Pallas-attention residuals (LSE) live
+    # inside the kernels' custom_vjp and are saved regardless of policy.
     remat_policy: Optional[str] = None
 
     @property
@@ -146,6 +147,25 @@ class UNetConfig:
         return input_blocks, middle, output_blocks
 
 
+def _tag_conv(out: jax.Array) -> jax.Array:
+    """Optionally name conv outputs for selective-remat policies.
+
+    With VIDSEG_CKPT_NAME_CONVS=1 (read per trace; set by train harnesses
+    when remat_policy='save_conv'), conv outputs get
+    jax.ad_checkpoint.checkpoint_name('conv_out') so
+    save_only_these_names('conv_out') can SAVE them across the remat
+    boundary — the backward then skips recomputing the FLOPs-heavy convs
+    while everything else still rematerializes. Default off: the name
+    primitive is identity, but inference programs stay byte-identical."""
+    import os
+
+    if os.environ.get("VIDSEG_CKPT_NAME_CONVS") == "1":
+        from jax.ad_checkpoint import checkpoint_name
+
+        return checkpoint_name(out, "conv_out")
+    return out
+
+
 class SpatialConv3x3(nn.Module):
     """3x3 SAME conv with a Pallas-kernel dispatch hook.
 
@@ -172,10 +192,10 @@ class SpatialConv3x3(nn.Module):
         k = kernel.astype(self.dtype)
         b = bias.astype(self.dtype)
         if use_pallas_conv3x3(x.shape[1], x.shape[2], cin, self.features):
-            return conv3x3_same(x, k, b)
-        return jax.lax.conv_general_dilated(
+            return _tag_conv(conv3x3_same(x, k, b))
+        return _tag_conv(jax.lax.conv_general_dilated(
             x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
-        ) + b
+        ) + b)
 
 
 class ResBlock(nn.Module):
@@ -263,7 +283,7 @@ class TemporalConv(nn.Module):
                 kernel[:, 0, 0].astype(self.dtype),
                 bias,
             )
-            return y.reshape(b, t, hh, ww, self.features)
+            return _tag_conv(y.reshape(b, t, hh, ww, self.features))
 
         pad = kt // 2
         xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (0, 0), (0, 0)))
@@ -287,7 +307,7 @@ class TemporalConv(nn.Module):
                 )
             out = y if out is None else out + y
         out = out + bias.astype(self.dtype)
-        return out.reshape(b, t, hh, ww, self.features)
+        return _tag_conv(out.reshape(b, t, hh, ww, self.features))
 
 
 class TemporalResBlock3D(nn.Module):
@@ -456,10 +476,17 @@ class UNetModel(nn.Module):
         # per-block rematerialization (static_argnums count self as 0; the
         # static slots are the num_video_frames / timesteps ints)
         if cfg.remat:
-            policy = (
-                getattr(jax.checkpoint_policies, cfg.remat_policy)
-                if cfg.remat_policy else None
-            )
+            if cfg.remat_policy == "save_conv":
+                # save the checkpoint_name-tagged conv outputs (requires
+                # VIDSEG_CKPT_NAME_CONVS=1, see _tag_conv) — the backward
+                # skips recomputing the convs, everything else remats
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "conv_out"
+                )
+            elif cfg.remat_policy:
+                policy = getattr(jax.checkpoint_policies, cfg.remat_policy)
+            else:
+                policy = None
             _Res = nn.remat(ResBlock, policy=policy)
             _VRes = nn.remat(VideoResBlock, static_argnums=(3,), policy=policy)
             _ST = nn.remat(SpatialTransformer, policy=policy)
