@@ -318,19 +318,25 @@ def _gn_bwd_pallas(x, gy, scale, mean, inv, groups, interpret=False):
     return dx[:, :m].reshape(shape), dscale, dbias
 
 
-def _gn_stats_variadic() -> bool:
-    """One variadic reduce for (Σx, Σx²) instead of two jnp.sum calls.
+def _gn_stats_mode() -> str:
+    """'two_pass' (default), 'variadic', or 'barrier'. Read per trace.
 
-    MEASURED LOSS (r5 swan bench A/B, serialized): variadic 506.9 ms /
-    27.62 f/s vs two-pass 494.2 ms / 28.33 — the variadic reduce comes out
-    +12.7 ms/step SLOWER. PROFILE_UNET's 80 %convert_reduce calls are not
-    two wasted passes: XLA already fuses the (Σx, Σx²) pair into one
-    kernel where profitable, and the explicit variadic form instead blocks
-    the convert_reduce fusion patterns it otherwise picks. Default OFF
-    (VIDSEG_GN_STATS=variadic opts in); read per trace."""
+    'variadic' (one lax.reduce emitting Σx and Σx² together) MEASURED
+    LOSS (r5 swan bench A/B, serialized): 506.9 ms / 27.62 f/s vs
+    two-pass 494.2 / 28.33 — XLA already pairs the two jnp.sum reduces
+    where profitable, and the explicit variadic form blocks the
+    convert_reduce fusion patterns it otherwise picks.
+
+    'barrier' puts an optimization_barrier between x and the stats
+    reduces so XLA CANNOT fuse (Σx, Σx²) into the PRECEDING convolution:
+    the r5 fusion attribution (fusion_attr.py) showed those conv+stats
+    kOutput kernels run at ~57 TF/s vs 78.6 for the same conv standalone
+    (conv3x3_tune) — the f32 stats output stage drags the conv, and a
+    standalone stats pass costs only one extra bf16 read (~0.3 ms at
+    335 GB/s vs the ~1.5 ms the conv loses). A/B'd on hardware."""
     import os
 
-    return os.environ.get("VIDSEG_GN_STATS", "two_pass") == "variadic"
+    return os.environ.get("VIDSEG_GN_STATS", "two_pass")
 
 
 def _gn_core(x, scale, bias, groups, eps, silu):
@@ -338,12 +344,24 @@ def _gn_core(x, scale, bias, groups, eps, silu):
     b, c = x.shape[0], x.shape[-1]
     red = tuple(range(1, x.ndim - 1))
     xf = x.astype(jnp.float32)
-    if _gn_stats_variadic():
+    mode = _gn_stats_mode()
+    if mode == "variadic":
         s, ss = jax.lax.reduce(
             (xf, xf * xf), (jnp.float32(0), jnp.float32(0)),
             lambda a, v: (a[0] + v[0], a[1] + v[1]), red,
         )                              # [B, C] each, one pass over x
+    elif mode == "barrier":
+        # barrier on the bf16 input (NOT on xf — that would materialize a
+        # full f32 copy); the converts then live inside the stats kernel
+        xbf = jax.lax.optimization_barrier(x).astype(jnp.float32)
+        s = jnp.sum(xbf, axis=red)
+        ss = jnp.sum(xbf * xbf, axis=red)
     else:
+        # NOTE (measured r5, don't redo): reducing 5-D video GN stats on
+        # the flattened [(b t), h, w, c] view (to dodge the f32 relayout
+        # copies the HLO shows at the time_stack in_norm sites) benches
+        # EXACTLY EVEN with the direct 5-D reduce (494.3 vs 494.4 ms) —
+        # XLA's layout assignment just moves the same relayout elsewhere.
         s = jnp.sum(xf, axis=red)          # [B, C]
         ss = jnp.sum(xf * xf, axis=red)    # [B, C]
     n = (x.size // (b * c)) * (c // groups)
