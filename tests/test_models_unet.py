@@ -237,8 +237,14 @@ class TestVideoUNet:
         site = state["intermediates"][f"output_blocks_{block}_1"]
         assert "time_stack_0" in site
         q = site["time_stack_0"]["attn1"]["q"][0]
-        # temporal layout [(2 hw), t, c]
-        assert q.shape[1] == t
+        from vidseg_diffusion_tpu.models.video_layers import temporal_layout
+
+        if temporal_layout() == "direct":
+            # direct mode sows in the UNet-native layout [(2 t), hw, c]
+            assert q.shape[0] == x.shape[0]
+        else:
+            # folded layout [(2 hw), t, c]
+            assert q.shape[1] == t
 
 
 class TestModulationArithmetic:

@@ -58,6 +58,10 @@ def test_bench_step_dispatches_expected_kernels(bench_dispatches):
     # the swan bench step must use the folded temporal kernel and the packed
     # spatial flash kernel; the projection matmul kernel only when opted in
     # (default OFF — measured 31 ms/step slower in-model, ops/matmul.py)
+    if os.environ.get("VIDSEG_TEMPORAL_LAYOUT", "folded") == "direct":
+        # direct layout: ds1/ds2 temporal sites use the in-layout kernel;
+        # the untileable ds4/ds8 sites fall back to the folded kernel
+        assert "temporal_direct" in kinds, log
     assert "small_batched" in kinds, log
     assert "flash_packed" in kinds, log
     if os.environ.get("VIDSEG_PALLAS_MATMUL") == "1":
@@ -94,6 +98,12 @@ def test_every_dispatched_kernel_compiles_standalone(bench_dispatches):
             w = jax.ShapeDtypeStruct((e["k"], e["n"]), dt)
             b = jax.ShapeDtypeStruct((e["n"],), dt)
             jax.jit(M._matmul_bias_impl).lower(x, w, b).compile()
+        elif e["kind"] == "temporal_direct":
+            q = jax.ShapeDtypeStruct((e["bt"], e["s"], e["h"], e["d"]), dt)
+            jax.jit(
+                lambda q, k, v, t=e["t"], st=e["s_tile"]:
+                A._temporal_direct_impl(q, k, v, t=t, s_tile=st)
+            ).lower(q, q, q).compile()
         elif e["kind"] == "temporal_conv":
             x = jax.ShapeDtypeStruct((e["b"], e["t"], e["m"], e["cin"]), dt)
             w = jax.ShapeDtypeStruct((e["kt"], e["cin"], e["cout"]), dt)

@@ -305,6 +305,14 @@ class CrossAttention(nn.Module):
     # unconsumed q/k per step (measured 3.5 s/step vs 0.6 in the swan
     # feature pass)
     sow_qk: bool = True
+    # direct temporal layout (VIDSEG_TEMPORAL_LAYOUT=direct): x arrives in
+    # the UNet-native [(b t), s, c] spatial token layout and attention runs
+    # ACROSS the t frame groups of the batch axis (ops/attention
+    # temporal_attention_direct) instead of across axis 1 — deleting the
+    # (b t) s c <-> (b s) t c HBM transposes of video_attention.py:152.
+    # Sow/injection operate on the same [(b t), s, H·D] flat views, so the
+    # harvest/inject contract is layout-consistent end to end.
+    temporal_frames: Optional[int] = None
 
     @nn.compact
     def __call__(
@@ -371,7 +379,14 @@ class CrossAttention(nn.Module):
             self.sow("intermediates", "q", to_flat(q, lq))
             self.sow("intermediates", "k", to_flat(k, lk))
 
-        out = dot_product_attention(q, k, v, layout="blhd")
+        if self.temporal_frames is not None:
+            from vidseg_diffusion_tpu.ops.attention import (
+                temporal_attention_direct,
+            )
+
+            out = temporal_attention_direct(q, k, v, t=self.temporal_frames)
+        else:
+            out = dot_product_attention(q, k, v, layout="blhd")
         wo, bo = _Kernel((inner, out_dim), bias=True, name="to_out")()
 
         if use_pallas_matmul(b * lq, inner, out_dim):

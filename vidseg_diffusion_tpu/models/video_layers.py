@@ -29,6 +29,29 @@ from vidseg_diffusion_tpu.models.layers import (
 )
 
 
+def temporal_layout() -> str:
+    """Temporal-block layout knob (read per trace, like VIDSEG_OUTPROJ_MODE):
+
+    - 'folded' (default): the reference's rearrange — temporal blocks run on
+      [(b s), t, c] (video_attention.py:152), paying a physical
+      (b t) s c ↔ (b s) t c transpose pair per site (~3 GB/step of HBM
+      copy traffic across the 10 temporal sites at swan scale,
+      PROFILE_UNET %copy/%reshape attribution, ROUND_NOTES r5).
+    - 'direct': temporal blocks stay in the UNet-native [(b t), s, c]
+      layout; attention runs across the frame groups of the batch axis via
+      ops/attention.temporal_attention_direct (Pallas kernel on TPU), and
+      the transposes are never materialized. Norms/FFs/projections are
+      row-order-agnostic; λ·mask modulation uses the frame-major
+      `spatial_add` form; harvested temporal q/k are sown in (and injected
+      from) the direct layout, so a feature pass and its modulated runs
+      under one mode are self-consistent. Modes must not be mixed across a
+      harvest/inject pair.
+    """
+    import os
+
+    return os.environ.get("VIDSEG_TEMPORAL_LAYOUT", "folded")
+
+
 class VideoTransformerBlock(nn.Module):
     """Temporal transformer block (video_attention.py:18-288).
 
@@ -59,8 +82,18 @@ class VideoTransformerBlock(nn.Module):
         bt, s, c = x.shape
         t = timesteps
         b = bt // t
-        # (b t) s c -> (b s) t c  (video_attention.py:152)
-        x = x.reshape(b, t, s, c).transpose(0, 2, 1, 3).reshape(b * s, t, c)
+        direct = temporal_layout() == "direct"
+        if not direct:
+            # (b t) s c -> (b s) t c  (video_attention.py:152)
+            x = x.reshape(b, t, s, c).transpose(0, 2, 1, 3).reshape(b * s, t, c)
+        # in direct mode x stays [(b t), s, c]; attention crosses the frame
+        # groups of the batch axis (temporal_attention_direct) and the
+        # λ·mask add uses the frame-major spatial_add form — same values,
+        # no HBM transposes
+        tf = t if direct else None
+        mod_add = (lambda m, y: m.spatial_add(y)) if direct else (
+            lambda m, y: m.temporal_add(y)
+        )
 
         if self.ff_in:
             x_skip = x
@@ -71,14 +104,14 @@ class VideoTransformerBlock(nn.Module):
 
         a1 = CrossAttention(
             heads=self.heads, dim_head=self.dim_head, dtype=self.dtype,
-            sow_qk=self.sow_qk, name="attn1"
+            sow_qk=self.sow_qk, temporal_frames=tf, name="attn1"
         )(
             nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x),
             context=None,
             injection=injection.attn1 if injection is not None else None,
         )
         if modulation is not None and modulation.self_attn is not None:
-            a1 = modulation.self_attn.temporal_add(a1)
+            a1 = mod_add(modulation.self_attn, a1)
         x = a1 + x
 
         a2 = CrossAttention(
@@ -86,7 +119,7 @@ class VideoTransformerBlock(nn.Module):
             sow_qk=self.sow_qk, name="attn2"
         )(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x), context=context)
         if modulation is not None and modulation.cross_attn is not None:
-            a2 = modulation.cross_attn.temporal_add(a2)
+            a2 = mod_add(modulation.cross_attn, a2)
         x = a2 + x
 
         x_skip = x
@@ -94,11 +127,12 @@ class VideoTransformerBlock(nn.Module):
             nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
         )
         if modulation is not None and modulation.ff_out is not None:
-            f = modulation.ff_out.temporal_add(f)
+            f = mod_add(modulation.ff_out, f)
         x = x_skip + f
 
-        # (b s) t c -> (b t) s c
-        x = x.reshape(b, s, t, c).transpose(0, 2, 1, 3).reshape(b * t, s, c)
+        if not direct:
+            # (b s) t c -> (b t) s c
+            x = x.reshape(b, s, t, c).transpose(0, 2, 1, 3).reshape(b * t, s, c)
         return x
 
 
@@ -154,11 +188,18 @@ class SpatialVideoTransformer(nn.Module):
 
         spatial_context = context
         # use_spatial_context: time context = context of each video's first
-        # frame, repeated per spatial token (video_attention.py:395-404)
+        # frame, repeated per batch row of the temporal block's layout —
+        # per spatial token for the folded [(b s), t, c] layout
+        # (video_attention.py:395-404), per frame for the direct
+        # [(b t), s, c] layout (the context is constant over both s and t,
+        # so the two repeats feed identical per-query contexts)
         time_context = None
         if context is not None:
             first = context[::t]  # [b, Lc, ctx]
-            time_context = jnp.repeat(first, h * w, axis=0)  # [(b hw), Lc, ctx]
+            if temporal_layout() == "direct":
+                time_context = jnp.repeat(first, t, axis=0)  # [(b t), Lc, ctx]
+            else:
+                time_context = jnp.repeat(first, h * w, axis=0)  # [(b hw), Lc, ctx]
 
         x = GroupNorm32(epsilon=1e-6, name="norm")(x)
         x = x.reshape(bt, h * w, c)

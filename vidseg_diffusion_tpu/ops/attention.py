@@ -1372,6 +1372,215 @@ def small_batched_attention(q, k, v, scale=None, fold=None, interpret=False):
     return _sba(scale, fold, bool(interpret), q, k, v)
 
 
+def _temporal_direct_kernel(q_ref, k_ref, v_ref, o_ref, *, t, s_tile, heads, d):
+    """Temporal attention computed IN the spatial token layout.
+
+    Blocks are [t, s_tile, H·D] slices of the UNet-native [(b t), s, H·D]
+    activation — for one video b and one tile of spatial tokens, the t rows
+    of each token are a contiguous block, so NO (b t) s c ↔ (b s) t c HBM
+    transpose is ever materialized (that pair of transposes costs ~3 GB/step
+    across the 10 temporal sites at swan scale — PROFILE_UNET %copy).
+
+    Same masked-fold trick as `_small_seq_kernel`: the merged [t·s_tile, H·D]
+    rows hold s_tile independent t-length problems INTERLEAVED (row
+    r = ti·s_tile + si belongs to problem si), so per head ONE MXU dot
+    computes every problem's logits and entries with si≠sj are masked to
+    -huge (exact 0 after exp2). s_tile is a multiple of the sublane tile so
+    the [t, s_tile, hd]→[t·s_tile, hd] merge is layout-free."""
+    hd = heads * d
+    rows = t * s_tile
+    q = q_ref[...].reshape(rows, hd)  # pre-scaled by scale·log2e
+    k = k_ref[...].reshape(rows, hd)
+    v = v_ref[...].reshape(rows, hd)
+    qg = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % s_tile
+    kg = jax.lax.broadcasted_iota(jnp.int32, (1, rows), 1) % s_tile
+    pen = jnp.where(qg == kg, 0.0, DEFAULT_MASK_VALUE)  # [rows, rows] f32
+    for hh in range(heads):
+        sl = slice(hh * d, (hh + 1) * d)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + pen
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        psum = jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[:, :, sl] = (pv / psum).reshape(t, s_tile, d).astype(o_ref.dtype)
+
+
+def _best_s_tile(s: int, t: int, hd: int, itemsize: int = 2,
+                 rows_cap: int = 512) -> Optional[int]:
+    """Largest spatial-tile width for `_temporal_direct_kernel`: must divide
+    s exactly (no padding support — padding would reintroduce the relayout
+    copies the kernel exists to remove), be a multiple of 16 (bf16 sublane
+    tile, so the in-kernel [t, s_tile, hd]→[t·s_tile, hd] merge is free),
+    keep the folded tile within the rows cap, and fit the scoped-VMEM model
+    (`_sba_vmem_bytes` — identical live-set shape with fold↔s_tile,
+    lq=lk=t). None → the caller falls back to the canonical layout."""
+    budget = (_KERNEL_VMEM_LIMIT * 3) // 4
+    cap = max(16, (rows_cap // max(t, 1)) // 16 * 16)
+    for st in range(cap, 0, -16):
+        if s % st:
+            continue
+        if _sba_vmem_bytes(st, t, t, hd, itemsize) <= budget:
+            return st
+    return None
+
+
+@functools.partial(
+    jax.jit, static_argnames=("t", "scale", "s_tile", "interpret")
+)
+def _temporal_direct_impl(
+    q: jax.Array,  # [(b·t), s, H, D] — UNet spatial token layout
+    k: jax.Array,
+    v: jax.Array,
+    t: int,
+    scale: Optional[float] = None,
+    s_tile: Optional[int] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    bt, s, h, d = q.shape
+    assert bt % t == 0, (bt, t)
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    hd = h * d
+    if s_tile is None:
+        s_tile = _best_s_tile(s, t, hd, q.dtype.itemsize)
+    assert s_tile is not None and s % s_tile == 0, (s, s_tile)
+    qf = (q * jnp.asarray(scale * _LOG2_E, q.dtype)).reshape(bt, s, hd)
+    kf = k.reshape(bt, s, hd)
+    vf = v.reshape(bt, s, hd)
+    spec = pl.BlockSpec((t, s_tile, hd), lambda i, j: (i, j, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _temporal_direct_kernel, t=t, s_tile=s_tile, heads=h, d=d
+        ),
+        grid=(bt // t, s // s_tile),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((bt, s, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=_KERNEL_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(bt, s, h, d)
+
+
+def _temporal_to_canonical(x: jax.Array, t: int) -> jax.Array:
+    """[(b t), s, h, d] → [(b s), t, h, d] (the video_attention.py:152
+    rearrange the direct kernel exists to avoid; used only by the fallback
+    dispatch and the reverse pass)."""
+    bt, s, h, d = x.shape
+    b = bt // t
+    return x.reshape(b, t, s, h, d).transpose(0, 2, 1, 3, 4).reshape(
+        b * s, t, h, d
+    )
+
+
+def _temporal_from_canonical(x: jax.Array, t: int, b: int) -> jax.Array:
+    bs, t_, h, d = x.shape
+    s = bs // b
+    return x.reshape(b, s, t_, h, d).transpose(0, 2, 1, 3, 4).reshape(
+        b * t_, s, h, d
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _tad(scale, t, s_tile, interpret, q, k, v):
+    return _temporal_direct_impl(
+        q, k, v, t=t, scale=scale, s_tile=s_tile, interpret=interpret
+    )
+
+
+def _tad_fwd(scale, t, s_tile, interpret, q, k, v):
+    out = _tad(scale, t, s_tile, interpret, q, k, v)
+    return out, (q, k, v, out)
+
+
+def _tad_bwd(scale, t, s_tile, interpret, res, g):
+    """Reverse pass via the canonical-layout backward kernels: the backward
+    runs only in training (which defaults to the canonical layout), so the
+    transposes here are a cold path traded for forward-path simplicity."""
+    q, k, v, out = res
+    bt, s, h, d = q.shape
+    b = bt // t
+    eff = scale if scale is not None else 1.0 / math.sqrt(d)
+    toc = lambda x: _temporal_to_canonical(x, t)
+    qc, kc, vc, oc, gc = toc(q), toc(k), toc(v), toc(out), toc(g)
+    if _use_pallas_attn_bwd():
+        _log_dispatch(
+            "small_batched_bwd", b=b * s, lq=t, lk=t, h=h, d=d, fold=None,
+            dtype=str(q.dtype),
+        )
+        dq, dk, dv = _small_batched_attention_bwd_impl(
+            qc, kc, vc, oc, gc, scale=eff, interpret=interpret
+        )
+    else:
+        flat = lambda x: x.transpose(0, 2, 1, 3).reshape(b * s * h, t, d)
+        dqf, dkf, dvf = _attention_bwd_chunked(
+            flat(qc), flat(kc), flat(vc), flat(oc), flat(gc), eff
+        )
+        unflat = lambda x: x.reshape(b * s, h, t, d).transpose(0, 2, 1, 3)
+        dq, dk, dv = unflat(dqf), unflat(dkf), unflat(dvf)
+    back = lambda x: _temporal_from_canonical(x, t, b)
+    return back(dq), back(dk), back(dv)
+
+
+_tad.defvjp(_tad_fwd, _tad_bwd)
+
+
+def temporal_attention_direct(
+    q: jax.Array,  # [(b·t), s, H, D]
+    k: jax.Array,
+    v: jax.Array,
+    t: int,
+    scale: Optional[float] = None,
+    interpret: bool = False,
+    force: Optional[bool] = None,
+) -> jax.Array:
+    """Temporal (cross-frame) attention on the spatial token layout.
+
+    Counterpart of the reference's `(b t) s c → (b s) t c` rearrange +
+    attention + rearrange-back (video_attention.py:152, 282-284), with the
+    two HBM transposes deleted: on TPU a Pallas kernel reads the [(b t), s,
+    H·D] activation in contiguous [t, s_tile, H·D] blocks and computes the
+    per-(b, s, head) t-length softmax in VMEM. Shapes the kernel cannot tile
+    (s not a multiple of 16 — the ds≥4 UNet levels at swan, 16–64× smaller
+    tensors) fall back to the canonical rearrange + `dot_product_attention`."""
+    bt, s, h, d = q.shape
+    assert bt % t == 0, (bt, t)
+    st = None
+    use = force
+    if use is None or use:
+        on_tpu = jax.default_backend() == "tpu" or interpret or force
+        if on_tpu:
+            st = _best_s_tile(s, t, h * d, q.dtype.itemsize)
+        if use is None:
+            use = st is not None and t * st >= _SMALL_MIN_ROWS
+        elif st is None:
+            raise ValueError(f"no valid s_tile for s={s}, t={t}")
+    if use:
+        _log_dispatch(
+            "temporal_direct", bt=bt, s=s, t=t, h=h, d=d, s_tile=st,
+            dtype=str(q.dtype),
+        )
+        return _tad(scale, t, st, bool(interpret), q, k, v)
+    b = bt // t
+    out = dot_product_attention(
+        _temporal_to_canonical(q, t),
+        _temporal_to_canonical(k, t),
+        _temporal_to_canonical(v, t),
+        scale=scale, layout="blhd",
+    )
+    return _temporal_from_canonical(out, t, b)
+
+
 def dot_product_attention(
     q: jax.Array,
     k: jax.Array,
