@@ -137,7 +137,7 @@ def _apply_video_block(mode, monkeypatch, variables, m, x, ctx, t,
 
 
 class TestVideoBlockDirectMode:
-    def _setup(self):
+    def _setup(self, monkeypatch):
         from vidseg_diffusion_tpu.models.video_layers import (
             VideoTransformerBlock,
         )
@@ -150,11 +150,14 @@ class TestVideoBlockDirectMode:
         ctx = jnp.asarray(
             np.random.RandomState(1).standard_normal((b * s, 1, c)), jnp.float32
         )
+        # init under the folded layout (ctx above is folded-shaped); params
+        # are layout-independent, only apply-time shapes differ per mode
+        monkeypatch.setenv("VIDSEG_TEMPORAL_LAYOUT", "folded")
         variables = m.init(jax.random.PRNGKey(0), x, context=ctx, timesteps=t)
         return m, variables, x, ctx, b, t, s, c
 
     def test_plain_forward_equal(self, monkeypatch):
-        m, variables, x, ctx, b, t, s, c = self._setup()
+        m, variables, x, ctx, b, t, s, c = self._setup(monkeypatch)
         # the direct mode repeats first-frame context per frame at the
         # SpatialVideoTransformer level; at block level pass the matching
         # per-layout context rows built from one [b, 1, c] source
@@ -174,7 +177,7 @@ class TestVideoBlockDirectMode:
             BlockModulation, Modulation,
         )
 
-        m, variables, x, ctx, b, t, s, c = self._setup()
+        m, variables, x, ctx, b, t, s, c = self._setup(monkeypatch)
         rs = np.random.RandomState(5)
         mod = BlockModulation(
             self_attn=Modulation(
@@ -209,7 +212,7 @@ class TestVideoBlockDirectMode:
             AttnInjection, BlockInjection,
         )
 
-        m, variables, x, ctx, b, t, s, c = self._setup()
+        m, variables, x, ctx, b, t, s, c = self._setup(monkeypatch)
         first = np.random.RandomState(2).standard_normal((b, 1, c)).astype("f")
         outs = {}
         for mode, reps in (("folded", (s, 0)), ("direct", (t, 0))):

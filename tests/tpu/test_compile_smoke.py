@@ -58,9 +58,11 @@ def test_bench_step_dispatches_expected_kernels(bench_dispatches):
     # the swan bench step must use the folded temporal kernel and the packed
     # spatial flash kernel; the projection matmul kernel only when opted in
     # (default OFF — measured 31 ms/step slower in-model, ops/matmul.py)
-    if os.environ.get("VIDSEG_TEMPORAL_LAYOUT", "folded") == "direct":
-        # direct layout: ds1/ds2 temporal sites use the in-layout kernel;
-        # the untileable ds4/ds8 sites fall back to the folded kernel
+    from vidseg_diffusion_tpu.models.video_layers import temporal_layout
+
+    if temporal_layout() == "direct":
+        # direct layout (default): ds1/ds2 temporal sites use the in-layout
+        # kernel; the untileable ds4/ds8 sites fall back to the folded one
         assert "temporal_direct" in kinds, log
     assert "small_batched" in kinds, log
     assert "flash_packed" in kinds, log

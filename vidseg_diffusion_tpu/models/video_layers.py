@@ -32,24 +32,27 @@ from vidseg_diffusion_tpu.models.layers import (
 def temporal_layout() -> str:
     """Temporal-block layout knob (read per trace, like VIDSEG_OUTPROJ_MODE):
 
-    - 'folded' (default): the reference's rearrange — temporal blocks run on
-      [(b s), t, c] (video_attention.py:152), paying a physical
-      (b t) s c ↔ (b s) t c transpose pair per site (~3 GB/step of HBM
-      copy traffic across the 10 temporal sites at swan scale,
-      PROFILE_UNET %copy/%reshape attribution, ROUND_NOTES r5).
-    - 'direct': temporal blocks stay in the UNet-native [(b t), s, c]
-      layout; attention runs across the frame groups of the batch axis via
-      ops/attention.temporal_attention_direct (Pallas kernel on TPU), and
-      the transposes are never materialized. Norms/FFs/projections are
-      row-order-agnostic; λ·mask modulation uses the frame-major
-      `spatial_add` form; harvested temporal q/k are sown in (and injected
-      from) the direct layout, so a feature pass and its modulated runs
-      under one mode are self-consistent. Modes must not be mixed across a
-      harvest/inject pair.
+    - 'direct' (default): temporal blocks stay in the UNet-native
+      [(b t), s, c] layout; attention runs across the frame groups of the
+      batch axis via ops/attention.temporal_attention_direct (Pallas kernel
+      on TPU), and the (b t) s c ↔ (b s) t c transposes are never
+      materialized. Norms/FFs/projections are row-order-agnostic; λ·mask
+      modulation uses the frame-major `spatial_add` form; harvested temporal
+      q/k are sown in (and injected from) the direct layout, so a feature
+      pass and its modulated runs under one mode are self-consistent. Modes
+      must not be mixed across a harvest/inject pair.
+    - 'folded': the reference's rearrange — temporal blocks run on
+      [(b s), t, c] (video_attention.py:152), paying a physical transpose
+      pair per site (~3 GB/step of HBM copy traffic across the 10 temporal
+      sites at swan scale, PROFILE_UNET %copy/%reshape attribution).
+
+    Measured on v5e at the swan bench (serialized A/B, two runs each,
+    ROUND_NOTES r5): direct 469.5/469.6 ms/step (29.81 f/s) vs folded
+    494.4/494.6 ms (28.31 f/s) — a 25 ms (5.1%) win, hence the default.
     """
     import os
 
-    return os.environ.get("VIDSEG_TEMPORAL_LAYOUT", "folded")
+    return os.environ.get("VIDSEG_TEMPORAL_LAYOUT", "direct")
 
 
 class VideoTransformerBlock(nn.Module):
